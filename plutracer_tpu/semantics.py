@@ -1,0 +1,85 @@
+"""Reference-semantics registry.
+
+The plutracer reference implementation contains several idiosyncrasies that
+*change rendered images*. To act as a drop-in replacement whose output matches
+the reference within Monte-Carlo tolerance, we replicate these by default, and
+each one is individually toggleable here. Every quirk cites the reference
+source (paths relative to the reference checkout).
+
+Quirks replicated by default
+----------------------------
+1. ``swapped_light_mis_weight`` — in the light-sampling half of NEE the power
+   heuristic weight is computed as bsdf_pdf^2/(bsdf_pdf^2+light_pdf^2), i.e.
+   the *BSDF* strategy's weight (src/renderer.cpp:22); textbook MIS would use
+   light_pdf^2/(...). The BSDF-sampling half uses the same (there correct)
+   formula (src/renderer.cpp:36).
+2. ``origin_distance_pdf`` — ``surface::pdf(p, wi)`` computes the solid-angle
+   pdf as |hit_point|^2 / (|cos| * area): the squared distance of the hit
+   point from the *world origin*, not from ``p`` (inc/surface.h:27-33, the
+   ``D = p + wi*t; dot(D,D)`` expression). Textbook is t^2 (distance from p).
+3. ``shading_normal_le_gate`` — in the BSDF-sampling half of NEE, the light's
+   emitted radiance toward the shading point is gated by
+   ``dot(n_shading, -wi) > 0`` where ``n_shading`` is the normal at the
+   *shading* point, not the light surface (src/renderer.cpp:42 passes the
+   shading p/n into material::Le). For typical geometry (light above a
+   surface) this zeroes the BSDF-strategy contribution.
+4. ``sphere_area_is_volume`` — ``sphere::area()`` returns (4/3)*pi*r^3
+   (inc/surfaces/sphere.h:17), used in the area-light pdf denominator.
+5. ``camera_scaled_basis`` — the camera basis is right = 1.5*norm(cross(look,
+   (0,-1,0))), up = 1.5*norm(cross(look, right)), film plane at w = 2.5
+   (inc/camera.h:17-23), and NDC is [-1,1]^2 on both axes with *no aspect
+   compensation* (inc/camera.h:27-30).
+6. ``geometric_triangle_normals`` — triangle normals are the geometric
+   cross(U,V) of normalized edges; vertex-normal interpolation is written but
+   commented out (src/surfaces/triangle.cpp:27).
+7. ``spp_is_square`` — ``antialiasing-samples: N`` means an N x N stratified
+   grid, i.e. N^2 samples per pixel (src/main.cpp:170 passes uvec2(N)).
+
+Bugs *not* replicated (they only corrupt memory / produce NaN, never change a
+correctly-rendered pixel):
+- the tile sampler's out-of-bounds write of one extra column on clipped edge
+  tiles (inc/sampler.h:75,85 + src/renderer.cpp:132);
+- NaN from the Reinhard tonemap when luma == 0 (src/main.cpp:78-86): we
+  guard the division; pure black maps to pure black;
+- the shared, unlocked global mt19937 (inc/cmmn.h:240): we use counter-based
+  jax.random keys, which are race-free and make renders deterministic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Static (hashable) render configuration, usable as a jit static arg."""
+
+    # --- integrator shape (reference: src/renderer.cpp:59-96) ---
+    max_bounces: int = 8  # shading vertices; reference shades bounces 0..7
+    t_max: float = 100000.0  # hit_record init t (inc/cmmn.h:228)
+
+    # --- reference-faithful quirks (see module docstring) ---
+    swapped_light_mis_weight: bool = True
+    origin_distance_pdf: bool = True
+    shading_normal_le_gate: bool = True
+    sphere_area_is_volume: bool = True
+
+    # --- numerics ---
+    shadow_eps: float = 0.0  # reference traces shadow rays from p exactly
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "RenderOptions":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_OPTIONS = RenderOptions()
+
+# Correct-by-the-book variant, for users who prefer textbook MIS/pdfs over
+# reference parity. Documented deviation; not the default.
+TEXTBOOK_OPTIONS = RenderOptions(
+    swapped_light_mis_weight=False,
+    origin_distance_pdf=False,
+    shading_normal_le_gate=False,
+    sphere_area_is_volume=False,
+    shadow_eps=1e-4,
+)
