@@ -7,12 +7,20 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pre-registers the axon TPU plugin via
+# sitecustomize (PYTHONPATH=/root/.axon_site) and pre-imports jax, so both
+# the env var *and* the already-imported config must be overridden before
+# any backend initializes; otherwise every unit test pays TPU tunnel latency.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
