@@ -1,0 +1,250 @@
+"""Ray-primitive intersection.
+
+Faithful ports of the reference hit predicates — these are load-bearing for
+shadow rays, which the reference traces with *zero* origin offset and which
+only avoid self-intersection because of the exact accept rules:
+
+- sphere (src/surfaces/sphere.cpp:16-27): hit iff BOTH quadratic roots are
+  strictly positive; t = near root. Consequence: rays starting inside a
+  sphere (e.g. refracted rays in glass) do NOT hit it from inside.
+- box (src/surfaces/box.cpp:6-35): slab test; miss if tmax < tmin or
+  tmin < 0; t = tmin. Consequence: rays starting inside a box miss it.
+- triangle (src/surfaces/triangle.cpp:5-33): Moller-Trumbore, accept
+  0 < t < t_best.
+
+The scene-level query is a brute-force closest-hit over the whole primitive
+table: compute t for every (ray, primitive) pair branchlessly and min-reduce
+over primitives. This is the correctness oracle; the BVH path (ops/bvh.py)
+must agree with it exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from plutracer_tpu.scene.types import PRIM_BOX, PRIM_SPHERE, PRIM_TRIANGLE
+
+T_MAX = 100000.0  # hit_record initial t (inc/cmmn.h:228)
+_BIG = 3.0e37  # sentinel for "no hit" inside reductions
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# per-primitive t computation (vectorized over rays x prims)
+# ---------------------------------------------------------------------------
+
+
+def sphere_t(o, d, center, radius):
+    """Both-roots-positive accept rule. o,d: (...,3); center: (3,) or broadcast."""
+    v = o - center
+    b = -_dot(v, d)
+    det = b * b - _dot(v, v) + radius * radius
+    ok = det >= 0
+    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    i1 = b - sq
+    i2 = b + sq
+    hit = ok & (i1 > 0.0) & (i2 > 0.0)
+    return jnp.where(hit, i1, _BIG)
+
+
+def box_t(o, d, bmin, bmax):
+    """Slab test; miss when tmin < 0 (so origins inside the box miss)."""
+    rrd = 1.0 / d
+    t1 = (bmin - o) * rrd
+    t2 = (bmax - o) * rrd
+    m12 = jnp.minimum(t1, t2)
+    x12 = jnp.maximum(t1, t2)
+    tmin = jnp.max(m12, axis=-1)
+    tmax = jnp.min(x12, axis=-1)
+    # reference rejects tmax < tmin or tmin < 0 (box.cpp:29); tmin == 0 hits
+    hit = (tmax >= tmin) & (tmin >= 0.0)
+    return jnp.where(hit, tmin, _BIG)
+
+
+def triangle_t(o, d, v0, v1, v2):
+    """Moller-Trumbore; accept t > 0 (det == 0 rejected)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pv = jnp.cross(d, e2)
+    det = _dot(e1, pv)
+    safe_det = jnp.where(det == 0.0, 1.0, det)
+    idet = 1.0 / safe_det
+    tv = o - v0
+    u = _dot(tv, pv) * idet
+    qv = jnp.cross(tv, e1)
+    v = _dot(d, qv) * idet
+    t = _dot(e2, qv) * idet
+    hit = (det != 0.0) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+    return jnp.where(hit, t, _BIG)
+
+
+# ---------------------------------------------------------------------------
+# scene-level closest hit
+# ---------------------------------------------------------------------------
+
+
+class Hit(NamedTuple):
+    """Batched hit records (the SoA analog of plu::hit_record)."""
+
+    found: jnp.ndarray  # (B,) bool
+    t: jnp.ndarray  # (B,)
+    prim: jnp.ndarray  # (B,) int32 winning primitive row (0 if none)
+    p: jnp.ndarray  # (B,3) hit point o + d*t
+    norm: jnp.ndarray  # (B,3) (triangle: unnormalized cross(U,V), see below)
+    uv: jnp.ndarray  # (B,2) texture coords
+    dpdu: jnp.ndarray  # (B,3) raw dpdu (shading frame S = normalize(dpdu))
+
+
+def _prim_t_batched(o, d, ptype, a, b, c):
+    ts = sphere_t(o, d, a, b[..., 0])
+    tb = box_t(o, d, a, b)
+    tt = triangle_t(o, d, a, b, c)
+    return jnp.where(
+        ptype == PRIM_SPHERE, ts, jnp.where(ptype == PRIM_BOX, tb, tt)
+    )
+
+
+def intersect_ts(scene, o, d):
+    """(B, P) t values with _BIG where missed."""
+    return _prim_t_batched(
+        o[:, None, :],
+        d[:, None, :],
+        scene.prim_type[None, :],
+        scene.prim_a[None, :],
+        scene.prim_b[None, :],
+        scene.prim_c[None, :],
+    )
+
+
+def intersect_closest(scene, o, d, t_max: float = T_MAX) -> Hit:
+    """Closest-hit query + full shading detail for the winner."""
+    tmat = intersect_ts(scene, o, d)  # (B, P)
+    prim = jnp.argmin(tmat, axis=1).astype(jnp.int32)
+    t = jnp.take_along_axis(tmat, prim[:, None], axis=1)[:, 0]
+    found = t < t_max
+    return hit_detail(scene, o, d, t, prim, found)
+
+
+def intersect_prim_t(scene, prim_idx, o, d):
+    """t for a *single* primitive row per ray (used by area-light pdfs)."""
+    a = scene.prim_a[prim_idx]
+    b = scene.prim_b[prim_idx]
+    c = scene.prim_c[prim_idx]
+    ptype = scene.prim_type[prim_idx]
+    return _prim_t_batched(o, d, ptype, a, b, c)
+
+
+# ---------------------------------------------------------------------------
+# shading detail for the winning primitive
+# ---------------------------------------------------------------------------
+
+
+def _sphere_detail(p, norm_in, center, radius):
+    """UV/normal/dpdu per the reference's polar-coordinate code
+    (src/surfaces/sphere.cpp:28-44). Note dpdu uses the *world* hit point."""
+    norm = norm_in  # normalize(p - center), computed by caller
+    cos_phi = -norm[..., 1]
+    phi = jnp.arccos(jnp.clip(cos_phi, -1.0, 1.0))
+    sin_phi = jnp.sin(phi)
+    v = phi * (1.0 / jnp.pi)
+    safe_sin = jnp.where(sin_phi == 0.0, 1.0, sin_phi)
+    ct = jnp.clip(-norm[..., 2] / safe_sin, -1.0, 1.0)
+    theta = jnp.arccos(ct) * (2.0 / jnp.pi)
+    theta = jnp.where(sin_phi == 0.0, 0.0, theta)
+    theta = jnp.where(norm[..., 0] >= 0.0, 1.0 - theta, theta)
+    uv = jnp.stack([theta, v], -1)
+    two_pi = 2.0 * jnp.pi
+    dpdu = jnp.stack(
+        [-two_pi * p[..., 1], two_pi * p[..., 0], jnp.zeros_like(p[..., 0])], -1
+    )
+    # degenerate dpdu (hit point on the world z-axis): fall back to any tangent
+    deg = _dot(dpdu, dpdu) < 1e-20
+    fallback = jnp.cross(jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), norm.shape), norm)
+    dpdu = jnp.where(deg[..., None], fallback, dpdu)
+    return norm, uv, dpdu
+
+
+def _box_detail(p, bmin, bmax):
+    """Nearest-face normal (src/surfaces/box.cpp:37-62) and the reference's
+    uv/dpdu index maps (box.cpp:29-33 with unsigned (mci-1)%3 arithmetic:
+    mci=0 -> uv=(p.x,p.y), dpdu=x; mci=1 -> uv=(p.x,p.z), dpdu=x;
+    mci=2 -> uv=(p.y,p.x), dpdu=y). mci is the LAST axis with nonzero normal
+    component, and for x-faces dpdu is parallel to the normal (degenerate
+    shading frame) — reference-faithful."""
+    center = (bmin + bmax) * 0.5
+    extents = bmax - center
+    np_ = p - center
+    dist = jnp.abs(extents - jnp.abs(np_))  # (B,3)
+    # reference loop keeps the FIRST minimum (strict <)
+    mci = jnp.argmin(dist, axis=-1)
+    sign = jnp.sign(np_)
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    norm = jax.nn.one_hot(mci, 3, dtype=p.dtype) * jnp.take_along_axis(
+        sign, mci[..., None], axis=-1
+    )
+    idx_u = jnp.array([0, 0, 1], jnp.int32)[mci]
+    idx_v = jnp.array([1, 2, 0], jnp.int32)[mci]
+    uv = jnp.stack(
+        [
+            jnp.take_along_axis(p, idx_u[..., None], axis=-1)[..., 0],
+            jnp.take_along_axis(p, idx_v[..., None], axis=-1)[..., 0],
+        ],
+        -1,
+    )
+    dpdu = jax.nn.one_hot(idx_u, 3, dtype=p.dtype)
+    return norm, uv, dpdu
+
+
+def _triangle_detail(o, d, v0, v1, v2, uv0, uv1, uv2):
+    """Geometric normal cross(U,V) of *normalized* edges, left unnormalized
+    (|n| = sin(angle) < 1 darkens cosine terms — reference-faithful,
+    src/surfaces/triangle.cpp:27), and the reference's swapped barycentric
+    texture interp (weight u on corner 0)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pv = jnp.cross(d, e2)
+    det = _dot(e1, pv)
+    idet = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tv = o - v0
+    u = _dot(tv, pv) * idet
+    qv = jnp.cross(tv, e1)
+    v = _dot(d, qv) * idet
+    w = 1.0 - (u + v)
+    U = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-20)
+    V = e2 / jnp.maximum(jnp.linalg.norm(e2, axis=-1, keepdims=True), 1e-20)
+    norm = jnp.cross(U, V)
+    uv = uv0 * u[..., None] + uv1 * v[..., None] + uv2 * w[..., None]
+    return norm, uv, U
+
+
+def hit_detail(scene, o, d, t, prim, found) -> Hit:
+    """Gather the winning primitive's params and compute shading detail."""
+    a = scene.prim_a[prim]
+    b = scene.prim_b[prim]
+    c = scene.prim_c[prim]
+    ptype = scene.prim_type[prim]
+    p = o + d * t[..., None]
+
+    sp_norm = p - a
+    sp_norm = sp_norm / jnp.maximum(
+        jnp.linalg.norm(sp_norm, axis=-1, keepdims=True), 1e-20
+    )
+    sn, suv, sdpdu = _sphere_detail(p, sp_norm, a, b[..., 0])
+    bn, buv, bdpdu = _box_detail(p, a, b)
+    tn, tuv, tdpdu = _triangle_detail(
+        o, d, a, b, c, scene.prim_uv0[prim], scene.prim_uv1[prim], scene.prim_uv2[prim]
+    )
+
+    is_s = (ptype == PRIM_SPHERE)[..., None]
+    is_b = (ptype == PRIM_BOX)[..., None]
+    norm = jnp.where(is_s, sn, jnp.where(is_b, bn, tn))
+    uv = jnp.where(is_s, suv, jnp.where(is_b, buv, tuv))
+    dpdu = jnp.where(is_s, sdpdu, jnp.where(is_b, bdpdu, tdpdu))
+
+    return Hit(found=found, t=t, prim=prim, p=p, norm=norm, uv=uv, dpdu=dpdu)

@@ -1,0 +1,178 @@
+"""Light sampling: point lights and diffuse area lights.
+
+Reference: inc/light.h:15-35 (point), inc/lights/area_light.h:12-43 (area),
+carrier-surface sampling inc/surfaces/{sphere,box,triangle}, and the
+solid-angle pdf surface::pdf(p, wi) (inc/surface.h:27-33) whose distance
+term is the squared distance of the hit point from the WORLD ORIGIN — a
+reference bug that changes images, replicated behind
+RenderOptions.origin_distance_pdf.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from plutracer_tpu.ops import intersect
+from plutracer_tpu.ops.sampling import uniform_sphere_sample
+from plutracer_tpu.scene.types import (
+    LIGHT_AREA,
+    LIGHT_POINT,
+    PRIM_BOX,
+    PRIM_SPHERE,
+)
+from plutracer_tpu.semantics import RenderOptions
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+
+# ---------------------------------------------------------------------------
+# carrier-surface sampling (surface::sample(u, n*))
+# ---------------------------------------------------------------------------
+
+
+def sample_surface(scene, prim_idx, u2, u_face, u_axis):
+    """Sample a point + normal on primitive rows.
+
+    - sphere (inc/surfaces/sphere.h:18-22): uniform sphere point.
+    - box (inc/surfaces/box.h:23-47): U = (u2.x, u_face, u2.y); snap a
+      random axis (u_axis picks 0..2) to its 0/1 face by >0.5; normal is
+      that axis's sign.
+    - triangle (src/surfaces/triangle.cpp:35-39): barycentric with
+      w = 1-(u.x+u.y) (can leave the triangle when u.x+u.y > 1 —
+      reference-faithful).
+    """
+    ptype = scene.prim_type[prim_idx]
+    a = scene.prim_a[prim_idx]
+    b = scene.prim_b[prim_idx]
+    c = scene.prim_c[prim_idx]
+
+    # sphere
+    ns_s = uniform_sphere_sample(u2)
+    ps_s = a + ns_s * b[..., 0:1]
+
+    # box
+    U = jnp.stack([u2[..., 0], u_face, u2[..., 1]], -1)
+    mi = jnp.minimum((u_axis * 3.0).astype(jnp.int32), 2)
+    picked = jnp.take_along_axis(U, mi[..., None], axis=-1)[..., 0]
+    snapped = jnp.where(picked > 0.5, 1.0, 0.0)
+    onehot = jax.nn.one_hot(mi, 3, dtype=U.dtype)
+    U = U * (1.0 - onehot) + snapped[..., None] * onehot
+    ps_b = a + U * (b - a)
+    ns_b = onehot * jnp.where(picked > 0.5, 1.0, -1.0)[..., None]
+
+    # triangle
+    ux = u2[..., 0:1]
+    uy = u2[..., 1:2]
+    wz = 1.0 - (ux + uy)
+    ps_t = a * ux + b * uy + c * wz
+    ns_t = (
+        scene.prim_n0[prim_idx] * ux
+        + scene.prim_n1[prim_idx] * uy
+        + scene.prim_n2[prim_idx] * wz
+    )
+
+    is_s = (ptype == PRIM_SPHERE)[..., None]
+    is_b = (ptype == PRIM_BOX)[..., None]
+    ps = jnp.where(is_s, ps_s, jnp.where(is_b, ps_b, ps_t))
+    ns = jnp.where(is_s, ns_s, jnp.where(is_b, ns_b, ns_t))
+    return ps, ns
+
+
+def surface_pdf(scene, prim_idx, p, wi, options: RenderOptions):
+    """surface::pdf(p, wi): trace against this primitive only; 0 on miss,
+    else dist^2 / (|cos| * area) — where dist^2 is |hit point|^2 from the
+    world origin when options.origin_distance_pdf (the reference bug), else
+    the textbook t^2."""
+    t = intersect.intersect_prim_t(scene, prim_idx, p, wi)
+    found = t < intersect.T_MAX
+    ts = jnp.where(found, t, 0.0)
+    hitp = p + wi * ts[..., None]
+    # hit normal at the pdf probe point
+    det = intersect.hit_detail(
+        scene, p, wi, ts, prim_idx, found
+    )
+    if options.origin_distance_pdf:
+        dist2 = _dot(hitp, hitp)
+    else:
+        dist2 = ts * ts
+    denom = jnp.abs(_dot(det.norm, -wi)) * scene.prim_area[prim_idx]
+    pdf = dist2 / jnp.maximum(denom, 1e-20)
+    return jnp.where(found, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# light interface
+# ---------------------------------------------------------------------------
+
+
+class LightSample(NamedTuple):
+    Li: jnp.ndarray  # (B,3) incident radiance
+    wi: jnp.ndarray  # (B,3) direction to light
+    pdf: jnp.ndarray  # (B,)
+    is_delta: jnp.ndarray  # (B,) bool
+
+
+def sample_light(
+    scene, light_idx, p, u2, u_face, u_axis, options: RenderOptions
+) -> LightSample:
+    """light::sampleL(p, smp, &wi, &pdf, &vis) for a batch.
+
+    light_idx: (B,) rows into the light table.
+    """
+    ltype = scene.light_type[light_idx]
+    is_delta = ltype == LIGHT_POINT
+
+    # point light (inc/light.h:20-27)
+    l2p = scene.light_pos[light_idx] - p
+    len2 = jnp.maximum(_dot(l2p, l2p), 1e-20)
+    wi_p = l2p / jnp.sqrt(len2)[..., None]
+    li_p = scene.light_intensity[light_idx] / len2[..., None]
+    pdf_p = jnp.ones_like(len2)
+
+    # diffuse area light (inc/lights/area_light.h:25-31)
+    prim = jnp.maximum(scene.light_prim[light_idx], 0)
+    ps, ns = sample_surface(scene, prim, u2, u_face, u_axis)
+    wi_a = _normalize(ps - p)
+    pdf_a = surface_pdf(scene, prim, p, wi_a, options)
+    # L(ps, ns, -wi): one-sided emission using the light's own normal here
+    front = _dot(ns, -wi_a) > 0.0
+    li_a = jnp.where(
+        front[..., None], scene.light_intensity[light_idx], 0.0
+    )
+
+    d = is_delta[..., None]
+    return LightSample(
+        Li=jnp.where(d, li_p, li_a),
+        wi=jnp.where(d, wi_p, wi_a),
+        pdf=jnp.where(is_delta, pdf_p, pdf_a),
+        is_delta=is_delta,
+    )
+
+
+def light_pdf(scene, light_idx, p, wi, options: RenderOptions):
+    """light::pdf(p, wi): 0 for delta lights, surface pdf for area lights."""
+    ltype = scene.light_type[light_idx]
+    prim = jnp.maximum(scene.light_prim[light_idx], 0)
+    pdf_a = surface_pdf(scene, prim, p, wi, options)
+    return jnp.where(ltype == LIGHT_AREA, pdf_a, 0.0)
+
+
+def emitted(scene, prim_idx, norm, w):
+    """material::Le at a hit: the linked area light's one-sided Lemit
+    (area_light.h:21-23 via material.cpp:67-70); 0 for non-emissive."""
+    li = scene.prim_light[prim_idx]
+    has = li >= 0
+    safe = jnp.maximum(li, 0)
+    gate = _dot(norm, w) > 0.0
+    return jnp.where(
+        (has & gate)[..., None], scene.light_intensity[safe], 0.0
+    )

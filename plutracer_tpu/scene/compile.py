@@ -35,9 +35,11 @@ def build_camera(
     w: float = 2.5,
 ) -> CameraParams:
     look = target - pos
-    look = look / np.linalg.norm(look)
+    nl = np.linalg.norm(look)
+    look = look / nl if nl > 0 else np.array([0.0, 0.0, 1.0], np.float32)
     right = np.cross(look, np.array([0.0, -1.0, 0.0], np.float32))
-    right = 1.5 * right / np.linalg.norm(right)
+    nr = np.linalg.norm(right)
+    right = 1.5 * right / nr if nr > 0 else np.array([1.5, 0.0, 0.0], np.float32)
     up = np.cross(look, right)
     up = 1.5 * up / np.linalg.norm(up)
     return CameraParams(
