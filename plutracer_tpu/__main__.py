@@ -1,0 +1,5 @@
+from plutracer_tpu.cli import main
+
+import sys
+
+sys.exit(main())
