@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from plutracer_tpu.ops.sampling import cosine_hemisphere_sample
@@ -51,7 +52,13 @@ def _dot(a, b):
 
 
 def _normalize(v):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    # sqrt(sum + eps) keeps the gradient finite at v = 0 (jnp.linalg.norm's
+    # gradient is NaN there)
+    return v * jax.lax.rsqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-30)
+
+
+def safe_sqrt(x):
+    return jnp.sqrt(jnp.where(x > 0.0, x, 1.0)) * jnp.where(x > 0.0, 1.0, 0.0)
 
 
 class Frame(NamedTuple):
@@ -104,11 +111,15 @@ def fresnel_dielectric_eval(cos_i, fr_eta_i, fr_eta_t):
     index pair when entering (cos_i > 0)."""
     ci = jnp.clip(cos_i, -1.0, 1.0)
     entering = ci > 0.0
+    # guard zero indices: non-dielectric material rows carry eta = 0 and are
+    # masked out downstream, but 0/0 here would poison gradients
+    fr_eta_i = jnp.where(fr_eta_i == 0.0, 1.0, fr_eta_i)
+    fr_eta_t = jnp.where(fr_eta_t == 0.0, 1.0, fr_eta_t)
     ei = jnp.where(entering, fr_eta_t, fr_eta_i)
     et = jnp.where(entering, fr_eta_i, fr_eta_t)
-    sin_t = ei / et * jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_t = ei / et * safe_sqrt(1.0 - ci * ci)
     tir = sin_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    cos_t = safe_sqrt(1.0 - sin_t * sin_t)
     f = fresnel_dielectric_formula(
         jnp.abs(ci)[..., None], cos_t[..., None], ei[..., None], et[..., None]
     )
@@ -171,6 +182,10 @@ def bsdf_sample(
     cos_wo = wo[..., 2]
 
     # --- lambert: cosine hemisphere, flipped into wo's hemisphere ---
+    # detached sampling: direction choices are measure-preserving and carry
+    # no useful gradient for material/emission params; detaching avoids
+    # second-order terms and NaNs through the concentric-disk map
+    u2 = jax.lax.stop_gradient(u2)
     wi_d = cosine_hemisphere_sample(u2)
     flip = jnp.where(cos_wo < 0.0, -1.0, 1.0)
     wi_d = wi_d * jnp.stack([jnp.ones_like(flip), jnp.ones_like(flip), flip], -1)
@@ -194,7 +209,11 @@ def bsdf_sample(
     # --- specular transmission ---
     def transmission(et_ctor, ei_ctor):
         # specular_transmission::sampleF (inc/material.h:137-150);
-        # Fr has eta_i = et_ctor, eta_t = ei_ctor
+        # Fr has eta_i = et_ctor, eta_t = ei_ctor. Zero indices (rows of
+        # other material types, masked downstream) are replaced by 1 to keep
+        # the masked lanes' primals/gradients finite.
+        et_ctor = jnp.where(et_ctor == 0.0, 1.0, et_ctor)
+        ei_ctor = jnp.where(ei_ctor == 0.0, 1.0, ei_ctor)
         entering = cos_wo > 0.0
         ei = jnp.where(entering, et_ctor, ei_ctor)
         et = jnp.where(entering, ei_ctor, et_ctor)
@@ -202,7 +221,7 @@ def bsdf_sample(
         eta = ei / et
         sin2_t = eta * eta * sin2_i
         tir = sin2_t >= 1.0
-        cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+        cos_t = safe_sqrt(1.0 - sin2_t)
         cos_t = jnp.where(entering, -cos_t, cos_t)
         wi = jnp.stack([eta * -wo[..., 0], eta * -wo[..., 1], cos_t], -1)
         fr = fresnel_dielectric_eval(cos_wo, et_ctor, ei_ctor)

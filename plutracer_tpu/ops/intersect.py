@@ -35,6 +35,12 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+def safe_sqrt(x):
+    """sqrt with a finite gradient at 0 (guards the masked-off branch of
+    jnp.where selects from poisoning gradients with 0 * inf = NaN)."""
+    return jnp.sqrt(jnp.where(x > 0.0, x, 1.0)) * jnp.where(x > 0.0, 1.0, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # per-primitive t computation (vectorized over rays x prims)
 # ---------------------------------------------------------------------------
@@ -46,7 +52,7 @@ def sphere_t(o, d, center, radius):
     b = -_dot(v, d)
     det = b * b - _dot(v, v) + radius * radius
     ok = det >= 0
-    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    sq = safe_sqrt(det)
     i1 = b - sq
     i2 = b + sq
     hit = ok & (i1 > 0.0) & (i2 > 0.0)
@@ -55,7 +61,7 @@ def sphere_t(o, d, center, radius):
 
 def box_t(o, d, bmin, bmax):
     """Slab test; miss when tmin < 0 (so origins inside the box miss)."""
-    rrd = 1.0 / d
+    rrd = 1.0 / jnp.where(d == 0.0, 1e-20, d)
     t1 = (bmin - o) * rrd
     t2 = (bmax - o) * rrd
     m12 = jnp.minimum(t1, t2)
@@ -229,11 +235,15 @@ def hit_detail(scene, o, d, t, prim, found) -> Hit:
     b = scene.prim_b[prim]
     c = scene.prim_c[prim]
     ptype = scene.prim_type[prim]
-    p = o + d * t[..., None]
+    # clamp t on missed lanes: t = _BIG would overflow p's dot products to
+    # inf, and any NaN in masked-off primals still poisons reverse-mode
+    # gradients (0 * NaN = NaN in the vjp)
+    t_safe = jnp.where(found, t, 1.0)
+    p = o + d * t_safe[..., None]
 
     sp_norm = p - a
-    sp_norm = sp_norm / jnp.maximum(
-        jnp.linalg.norm(sp_norm, axis=-1, keepdims=True), 1e-20
+    sp_norm = sp_norm * jax.lax.rsqrt(
+        jnp.sum(sp_norm * sp_norm, -1, keepdims=True) + 1e-30
     )
     sn, suv, sdpdu = _sphere_detail(p, sp_norm, a, b[..., 0])
     bn, buv, bdpdu = _box_detail(p, a, b)
@@ -246,5 +256,12 @@ def hit_detail(scene, o, d, t, prim, found) -> Hit:
     norm = jnp.where(is_s, sn, jnp.where(is_b, bn, tn))
     uv = jnp.where(is_s, suv, jnp.where(is_b, buv, tuv))
     dpdu = jnp.where(is_s, sdpdu, jnp.where(is_b, bdpdu, tdpdu))
+
+    # uv/dpdu feed piecewise-constant texture lookups and the (detached)
+    # sampling frame; their analytic gradients are zero for the supported
+    # parameter set but their chains pass through arccos(+-1) etc. whose
+    # inf derivatives would poison the backward pass
+    uv = jax.lax.stop_gradient(uv)
+    dpdu = jax.lax.stop_gradient(dpdu)
 
     return Hit(found=found, t=t, prim=prim, p=p, norm=norm, uv=uv, dpdu=dpdu)

@@ -31,7 +31,7 @@ def _dot(a, b):
 
 
 def _normalize(v):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    return v * jax.lax.rsqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-30)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,186 @@
+"""Sharded rendering and inverse-rendering over a device mesh.
+
+Forward: the ray megabatch is sharded over the `tiles` axis and the
+stratified passes over the `spp` axis; accumulation is one psum over `spp`.
+Backward (inverse rendering): per-shard gradients of the pixel loss w.r.t.
+differentiable scene parameters (material albedo, light emission, texture
+colors) are psum-all-reduced over both axes — XLA overlaps the collective
+with the backward pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from plutracer_tpu.ops.camera import generate_rays
+from plutracer_tpu.render.integrator import ray_color
+from plutracer_tpu.render.renderer import pixel_centers
+from plutracer_tpu.semantics import DEFAULT_OPTIONS, RenderOptions
+
+
+def _pad_to(x, mult: int, axis: int = 0):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), n
+
+
+def _trace_stratum(scene, px0, stratum, n, key, options):
+    """One stratified sample for each pixel in px0. Returns (B,3)."""
+    k_px, k_lens, k_path = jax.random.split(key, 3)
+    cell = jnp.stack([stratum % n, stratum // n], -1).astype(jnp.float32)
+    B = px0.shape[0]
+    jit_px = jax.random.uniform(k_px, (B, 2)) * 0.999
+    jit_lens = jax.random.uniform(k_lens, (B, 2)) * 0.999
+    px = px0 + (cell + jit_px) / n
+    lens = (cell + jit_lens) / n
+    o, d = generate_rays(scene.camera, px, lens)
+    return ray_color(scene, o, d, k_path, options)
+
+
+def render_sharded(
+    scene,
+    width: int,
+    height: int,
+    n: int,
+    key,
+    mesh: Mesh,
+    options: RenderOptions = DEFAULT_OPTIONS,
+):
+    """Full sharded render -> linear (H, W, 3) image.
+
+    Rays sharded over `tiles`; the n^2 strata are round-robined over `spp`
+    and accumulated with a psum.
+    """
+    d_tiles = mesh.shape["tiles"]
+    d_spp = mesh.shape["spp"]
+    spp = n * n
+    px_all = pixel_centers(width, height)
+    px_pad, n_px = _pad_to(px_all, d_tiles)
+
+    strata = jnp.arange(spp, dtype=jnp.int32)
+    strata_pad, _ = _pad_to(strata, d_spp)
+    local_strata = strata_pad.shape[0] // d_spp
+
+    def shard_fn(px_local, strata_local):
+        ti = jax.lax.axis_index("tiles")
+        si = jax.lax.axis_index("spp")
+        shard_key = jax.random.fold_in(jax.random.fold_in(key, ti), si)
+
+        def body(s, acc):
+            stratum = strata_local[s]
+            k = jax.random.fold_in(shard_key, s)
+            c = _trace_stratum(scene, px_local, stratum, n, k, options)
+            valid = stratum < spp  # padding strata contribute nothing
+            return acc + jnp.where(valid, 1.0, 0.0) * c
+
+        # the loop body's output is varying over both mesh axes (rays over
+        # `tiles`, strata/keys over `spp`), so the init carry must be too
+        acc0 = jax.lax.pcast(
+            jnp.zeros((px_local.shape[0], 3)), ("tiles", "spp"), to="varying"
+        )
+        acc = jax.lax.fori_loop(0, local_strata, body, acc0)
+        return jax.lax.psum(acc, "spp")
+
+    out = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("tiles"), P("spp")),
+            out_specs=P("tiles"),
+        )
+    )(px_pad, strata_pad)
+    return (out[:n_px] / spp).reshape(height, width, 3)
+
+
+# ---------------------------------------------------------------------------
+# inverse rendering
+# ---------------------------------------------------------------------------
+
+DIFFERENTIABLE_FIELDS = ("mat_color", "light_intensity", "tex_c0", "tex_c1")
+
+
+def get_params(scene) -> Dict[str, Any]:
+    """Extract the differentiable parameter pytree from a scene."""
+    return {f: getattr(scene, f) for f in DIFFERENTIABLE_FIELDS}
+
+
+def apply_params(scene, params: Dict[str, Any]):
+    """Return a scene with the parameter leaves swapped in."""
+    return dataclasses.replace(scene, **params)
+
+
+def make_train_step(
+    scene,
+    width: int,
+    height: int,
+    n: int,
+    mesh: Mesh,
+    optimizer=None,
+    options: RenderOptions = DEFAULT_OPTIONS,
+):
+    """Build a jitted, sharded inverse-rendering step.
+
+    step(params, opt_state, target, key, stratum) -> (params, opt_state, loss)
+
+    Renders one stratified pass with the given params, computes mean squared
+    error against the target linear image, all-reduces parameter gradients
+    over the mesh, and applies the optimizer update (replicated).
+    """
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+    d_tiles = mesh.shape["tiles"]
+    px_all = pixel_centers(width, height)
+    px_pad, n_px = _pad_to(px_all, d_tiles)
+    target_spec = P("tiles")
+
+    def shard_loss_grad(params, px_local, target_local, key, stratum):
+        ti = jax.lax.axis_index("tiles")
+        si = jax.lax.axis_index("spp")
+        k = jax.random.fold_in(jax.random.fold_in(key, ti), si)
+
+        def local_loss(params):
+            sc = apply_params(scene, params)
+            c = _trace_stratum(sc, px_local, stratum, n, k, options)
+            # mean over the full (padded) pixel count; psum completes it
+            return jnp.sum((c - target_local) ** 2) / (px_pad.shape[0] * 3)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(loss, "tiles")
+        grads = jax.lax.psum(grads, "tiles")
+        # spp axis shards independent strata of the same estimator: average
+        loss = jax.lax.pmean(loss, "spp")
+        grads = jax.lax.pmean(grads, "spp")
+        return loss, grads
+
+    sharded = jax.shard_map(
+        shard_loss_grad,
+        mesh=mesh,
+        in_specs=(P(), P("tiles"), target_spec, P(), P()),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def step(params, opt_state, target_flat, key, stratum):
+        tgt_pad, _ = _pad_to(target_flat, d_tiles)
+        loss, grads = sharded(params, px_pad, tgt_pad, key, stratum)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(params):
+        return optimizer.init(params)
+
+    step.init = init
+    return step

@@ -189,13 +189,16 @@ def ray_color(
         T = jnp.where(alive_next[..., None], T_next, T)
         return (hit.p, bs.wwi, T, L, bs.is_specular, alive_next), None
 
+    # derive carry inits from the (possibly shard_map-varying) ray inputs so
+    # the scan carry has consistent varying-manual-axis types under shard_map
+    zeros3 = jnp.zeros_like(o)
     init = (
         o,
         d,
-        jnp.ones((B, 3)),
-        jnp.zeros((B, 3)),
-        jnp.zeros((B,), bool),
-        jnp.ones((B,), bool),
+        zeros3 + 1.0,
+        zeros3,
+        jnp.zeros_like(o[..., 0], dtype=bool),
+        jnp.zeros_like(o[..., 0], dtype=bool) | True,
     )
     (o_, d_, T, L, spec, alive), _ = jax.lax.scan(
         body, init, jnp.arange(options.max_bounces)
