@@ -1,0 +1,39 @@
+"""Golden-image regression tests over the full reference scene corpus.
+
+Goldens are small fixed-seed CPU renders (tools/make_goldens.py). The RNG is
+counter-based, so a same-backend re-render reproduces the goldens almost
+exactly; the loose tail tolerance absorbs backend numerics (CPU vs TPU) and
+future kernel swaps (BVH/Pallas) which must not change path outcomes.
+"""
+
+import pathlib
+
+import jax
+import numpy as np
+import pytest
+
+from plutracer_tpu.render.renderer import render
+from plutracer_tpu.scene import compile_scene, load_scene_file
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+SCENES = pathlib.Path("/root/reference/scenes")
+W, H, N, SEED = 64, 48, 2, 42
+
+NAMES = [p.stem for p in sorted(SCENES.glob("*.urn"))]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_golden(name):
+    golden = np.load(GOLDEN_DIR / f"{name}.npz")["linear"].astype(np.float32)
+    d = load_scene_file(str(SCENES / f"{name}.urn"), ["/res", f"{W}x{H}"])
+    s = compile_scene(d)
+    img = np.asarray(render(s, W, H, N, jax.random.PRNGKey(SEED)))
+    assert img.shape == golden.shape
+    assert np.isfinite(img).all()
+    # tonemapped comparison bounds the huge emissive dynamic range
+    a = np.log1p(np.maximum(img, 0.0))
+    b = np.log1p(np.maximum(golden, 0.0))
+    diff = np.abs(a - b)
+    # float16 golden quantization + cross-backend numerics tolerance
+    assert np.quantile(diff, 0.99) < 0.05, f"{name}: p99 {np.quantile(diff, 0.99)}"
+    assert diff.mean() < 0.01, f"{name}: mean {diff.mean()}"

@@ -1,0 +1,46 @@
+"""Generate golden images for the regression suite.
+
+Renders every reference scene at small resolution / fixed seed on CPU and
+stores the linear images under tests/goldens/. Re-run only when a deliberate
+semantics change is made; the test suite compares against these to catch
+accidental drift while optimizing (BVH, Pallas kernels must not change
+images beyond backend numerics).
+"""
+
+import os
+import pathlib
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from plutracer_tpu.render.renderer import render
+from plutracer_tpu.scene import compile_scene, load_scene_file
+
+GOLDEN_DIR = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
+SCENES = pathlib.Path("/root/reference/scenes")
+
+W, H, N, SEED = 64, 48, 2, 42
+
+
+def main():
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    for p in sorted(SCENES.glob("*.urn")):
+        d = load_scene_file(str(p), ["/res", f"{W}x{H}"])
+        s = compile_scene(d)
+        img = np.asarray(render(s, W, H, N, jax.random.PRNGKey(SEED)))
+        out = GOLDEN_DIR / f"{p.stem}.npz"
+        np.savez_compressed(out, linear=img.astype(np.float16))
+        print(f"{p.stem}: mean={img.mean():.4f} max={img.max():.2f} -> {out.name}")
+
+
+if __name__ == "__main__":
+    main()
