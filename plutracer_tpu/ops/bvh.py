@@ -1,0 +1,240 @@
+"""BVH: host-side builder + flattened arrays + iterative device traversal.
+
+The reference builds a binary tree by recursive median split on primitive
+centroids, cycling the split axis x->y->z, leaves holding one primitive and
+the 2-element case special-cased (src/surfaces/bvh_tree.cpp:7-36); traversal
+tests the node AABB and always visits both children, nearest t wins
+(bvh_tree.cpp:39-76).
+
+TPU-first redesign: the tree is flattened to arrays in depth-first order
+with skip links, and traversal is an iterative `lax.while_loop` per ray
+batch over those arrays — no recursion, no pointers:
+
+- hit the node's AABB -> advance to node+1 (first child);
+- miss (or consumed a leaf) -> jump to the node's `skip` index (the next
+  subtree in DFS order);
+- leaves intersect their primitive branchlessly and fold into a running
+  (t, prim) minimum.
+
+The AABB test is the reference's slab test (inc/cmmn.h:150-170): hit iff
+tmax >= tmin, with NO positivity or t-range check — reference-faithful
+(an AABB fully behind the ray still "hits", costing traversal but not
+correctness). Leaf order is exactly the reference's topology, so closest-hit
+results are bit-identical to brute force (same winner under ties because
+DFS leaf order preserves the sorted-median recursion's primitive order and
+argmin tie-breaks don't arise: strict `<` on t).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plutracer_tpu.scene.types import PRIM_BOX, PRIM_SPHERE, PRIM_TRIANGLE
+
+
+# ---------------------------------------------------------------------------
+# host-side build
+# ---------------------------------------------------------------------------
+
+
+def prim_bounds(ptype: int, a, b, c) -> Tuple[np.ndarray, np.ndarray]:
+    """AABB per primitive (sphere.h:12-14, box.h:11-13, triangle.h:21-24)."""
+    if ptype == PRIM_SPHERE:
+        r = b[0]
+        return a - r, a + r
+    if ptype == PRIM_BOX:
+        return a.copy(), b.copy()
+    lo = np.minimum(np.minimum(a, b), c)
+    hi = np.maximum(np.maximum(a, b), c)
+    return lo, hi
+
+
+@dataclasses.dataclass
+class BvhArrays:
+    """Flattened DFS tree. N nodes; leaves reference primitive rows."""
+
+    node_min: Any  # (N,3) f32
+    node_max: Any  # (N,3) f32
+    node_skip: Any  # (N,) i32: next node in DFS order skipping this subtree
+    node_prim: Any  # (N,) i32: primitive row at a leaf, else -1
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_skip.shape[0]
+
+
+def build_bvh(scene_np) -> BvhArrays:
+    """Build from host-side primitive arrays (numpy views of SceneArrays).
+
+    Median-split on bounds centers, axis cycling x->y->z, matching the
+    reference topology (bvh_tree.cpp:7-36): size-1 -> leaf; size-2 -> two
+    leaf children (no sort!); else sort by center[axis], split at n//2.
+    """
+    ptype = np.asarray(scene_np.prim_type)
+    pa = np.asarray(scene_np.prim_a)
+    pb = np.asarray(scene_np.prim_b)
+    pc = np.asarray(scene_np.prim_c)
+    P = ptype.shape[0]
+
+    lo = np.zeros((P, 3), np.float32)
+    hi = np.zeros((P, 3), np.float32)
+    for i in range(P):
+        lo[i], hi[i] = prim_bounds(int(ptype[i]), pa[i], pb[i], pc[i])
+    centers = (lo + hi) * 0.5
+
+    node_min: List[np.ndarray] = []
+    node_max: List[np.ndarray] = []
+    node_prim: List[int] = []
+    children: List[Tuple[int, int]] = []  # (left, right) or (-1,-1) for leaf
+
+    def add_node(mn, mx, prim=-1):
+        node_min.append(mn)
+        node_max.append(mx)
+        node_prim.append(prim)
+        children.append((-1, -1))
+        return len(node_prim) - 1
+
+    def build(idx: np.ndarray, axis: int) -> int:
+        if len(idx) == 1:
+            i = int(idx[0])
+            return add_node(lo[i], hi[i], i)
+        if len(idx) == 2:
+            # reference special-cases 2 without sorting (bvh_tree.cpp:22-26)
+            l = build(idx[:1], axis)
+            r = build(idx[1:], axis)
+            mn = np.minimum(node_min[l], node_min[r])
+            mx = np.maximum(node_max[l], node_max[r])
+            n = add_node(mn, mx)
+            children[n] = (l, r)
+            return n
+        order = np.argsort(centers[idx, axis], kind="stable")
+        idx = idx[order]
+        mid = len(idx) // 2
+        nxt = (axis + 1) % 3
+        l = build(idx[:mid], nxt)
+        r = build(idx[mid:], nxt)
+        mn = np.minimum(node_min[l], node_min[r])
+        mx = np.maximum(node_max[l], node_max[r])
+        n = add_node(mn, mx)
+        children[n] = (l, r)
+        return n
+
+    root = build(np.arange(P), 0)
+
+    # re-number into DFS (pre-order) layout with skip links
+    N = len(node_prim)
+    dfs_min = np.zeros((N, 3), np.float32)
+    dfs_max = np.zeros((N, 3), np.float32)
+    dfs_skip = np.zeros(N, np.int32)
+    dfs_prim = np.full(N, -1, np.int32)
+    counter = [0]
+    size_cache = {}
+
+    def subtree_size(n: int) -> int:
+        if n not in size_cache:
+            l, r = children[n]
+            size_cache[n] = 1 if l < 0 else 1 + subtree_size(l) + subtree_size(r)
+        return size_cache[n]
+
+    def layout(n: int) -> None:
+        me = counter[0]
+        counter[0] += 1
+        dfs_min[me] = node_min[n]
+        dfs_max[me] = node_max[n]
+        # skip = first node after my whole subtree in pre-order
+        dfs_skip[me] = me + subtree_size(n)
+        l, r = children[n]
+        if l < 0:
+            dfs_prim[me] = node_prim[n]
+        else:
+            layout(l)
+            layout(r)
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * N + 100))
+    try:
+        layout(root)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    return BvhArrays(
+        node_min=jnp.asarray(dfs_min),
+        node_max=jnp.asarray(dfs_max),
+        node_skip=jnp.asarray(dfs_skip),
+        node_prim=jnp.asarray(dfs_prim),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device traversal
+# ---------------------------------------------------------------------------
+
+
+def _aabb_hit(o, d, mn, mx):
+    """Reference slab test (inc/cmmn.h:150-170): hit iff tmax >= tmin."""
+    rrd = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    t1 = (mn - o) * rrd
+    t2 = (mx - o) * rrd
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return tmax >= tmin
+
+
+def bvh_closest(scene, bvh: BvhArrays, o, d):
+    """Closest-hit via skip-link traversal. Returns (found, prim, t).
+
+    All rays advance in lockstep through their own node pointers; dead rays
+    (pointer == N) idle until the last ray finishes. Wavefront-friendly: no
+    stack, 2 int32s of state per ray.
+    """
+    from plutracer_tpu.ops.intersect import T_MAX, _BIG, _prim_t_batched
+
+    B = o.shape[0]
+    N = bvh.num_nodes
+
+    def cond(state):
+        node, best_t, best_p = state
+        return jnp.any(node < N)
+
+    def step(state):
+        node, best_t, best_p = state
+        active = node < N
+        ni = jnp.minimum(node, N - 1)
+        mn = bvh.node_min[ni]
+        mx = bvh.node_max[ni]
+        hit_box = _aabb_hit(o, d, mn, mx) & active
+        prim = bvh.node_prim[ni]
+        is_leaf = prim >= 0
+
+        # leaf: intersect its primitive (branchless, masked)
+        pi = jnp.maximum(prim, 0)
+        t = _prim_t_batched(
+            o,
+            d,
+            scene.prim_type[pi],
+            scene.prim_a[pi],
+            scene.prim_b[pi],
+            scene.prim_c[pi],
+        )
+        take = hit_box & is_leaf & (t < best_t)
+        best_t = jnp.where(take, t, best_t)
+        best_p = jnp.where(take, pi, best_p)
+
+        # advance: into the subtree on AABB hit (internal), else skip
+        descend = hit_box & ~is_leaf
+        node = jnp.where(active, jnp.where(descend, node + 1, bvh.node_skip[ni]), node)
+        return node, best_t, best_p
+
+    node0 = jnp.zeros((B,), jnp.int32)
+    best_t0 = jnp.full((B,), _BIG)
+    best_p0 = jnp.zeros((B,), jnp.int32)
+    node, best_t, best_p = jax.lax.while_loop(cond, step, (node0, best_t0, best_p0))
+    found = best_t < T_MAX
+    return found, best_p, best_t

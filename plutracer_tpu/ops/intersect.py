@@ -128,12 +128,22 @@ def intersect_ts(scene, o, d):
     )
 
 
-def intersect_closest(scene, o, d, t_max: float = T_MAX) -> Hit:
-    """Closest-hit query + full shading detail for the winner."""
+def intersect_lite(scene, o, d, t_max: float = T_MAX):
+    """Closest-hit query without shading detail: (found, prim, t).
+
+    Shadow/visibility rays (renderer.cpp:16,41) only consult the hit
+    surface's identity, so skipping hit_detail halves the NEE cost.
+    """
     tmat = intersect_ts(scene, o, d)  # (B, P)
     prim = jnp.argmin(tmat, axis=1).astype(jnp.int32)
     t = jnp.take_along_axis(tmat, prim[:, None], axis=1)[:, 0]
     found = t < t_max
+    return found, prim, t
+
+
+def intersect_closest(scene, o, d, t_max: float = T_MAX) -> Hit:
+    """Closest-hit query + full shading detail for the winner."""
+    found, prim, t = intersect_lite(scene, o, d, t_max)
     return hit_detail(scene, o, d, t, prim, found)
 
 

@@ -54,10 +54,10 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
         scene, li, p, u[:, 0:2], u[:, 2], u[:, 3], options
     )
     f = bsdf_ops.bsdf_F_nee(mtype, albedo, n, wwo, ls.wi)
-    hit2 = intersect.intersect_closest(scene, p, ls.wi)
+    found2, prim2, _ = intersect.intersect_lite(scene, p, ls.wi)
     # unoccluded: no hit at all, or (area light) nearest hit IS the light
-    hits_light = hit2.found & (scene.prim_light[hit2.prim] == li)
-    unoccl = ~hit2.found | (~ls.is_delta & hits_light)
+    hits_light = found2 & (scene.prim_light[prim2] == li)
+    unoccl = ~found2 | (~ls.is_delta & hits_light)
 
     b_pdf = bsdf_ops.bsdf_pdf_nee(frame, mtype, wwo, ls.wi)
     if options.swapped_light_mis_weight:
@@ -95,14 +95,17 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
     l_pdf2 = lights.light_pdf(scene, li, p, bs.wwi, options)
     w2 = _safe_div(bs.pdf * bs.pdf, bs.pdf * bs.pdf + l_pdf2 * l_pdf2)
     w2 = jnp.where(bs.is_specular, 1.0, w2)
-    hit3 = intersect.intersect_closest(scene, p, bs.wwi)
-    same_light = hit3.found & (scene.prim_light[hit3.prim] == li)
     if options.shading_normal_le_gate:
         # reference passes the SHADING point's (p, n) into material::Le
-        # (renderer.cpp:42): emission gated on dot(n_shading, -wi) > 0
+        # (renderer.cpp:42): emission gated on dot(n_shading, -wi) > 0;
+        # the hit's own normal is not needed, so use the lite query
+        found3, prim3, t3 = intersect.intersect_lite(scene, p, bs.wwi)
         le_gate = _dot(n, -bs.wwi) > 0.0
     else:
+        hit3 = intersect.intersect_closest(scene, p, bs.wwi)
+        found3, prim3 = hit3.found, hit3.prim
         le_gate = _dot(hit3.norm, -bs.wwi) > 0.0
+    same_light = found3 & (scene.prim_light[prim3] == li)
     Li2 = jnp.where(
         (same_light & le_gate)[..., None],
         scene.light_intensity[jnp.maximum(li, 0)],
@@ -113,7 +116,7 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
         & (_dot(bs.f, bs.f) > 0.0)
         & (bs.pdf > 0.0)
         & (bs.is_specular | (l_pdf2 != 0.0))  # early return when light_pdf==0
-        & hit3.found
+        & found3
         & (_dot(Li2, Li2) > 0.0)
     )
     contrib_b = (
