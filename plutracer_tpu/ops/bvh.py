@@ -68,6 +68,14 @@ class BvhArrays:
         return self.node_skip.shape[0]
 
 
+_BVH_FIELDS = ("node_min", "node_max", "node_skip", "node_prim")
+jax.tree_util.register_pytree_node(
+    BvhArrays,
+    lambda b: (tuple(getattr(b, f) for f in _BVH_FIELDS), None),
+    lambda _, ch: BvhArrays(**dict(zip(_BVH_FIELDS, ch))),
+)
+
+
 def build_bvh(scene_np) -> BvhArrays:
     """Build from host-side primitive arrays (numpy views of SceneArrays).
 

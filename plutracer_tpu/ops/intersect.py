@@ -147,6 +147,58 @@ def intersect_closest(scene, o, d, t_max: float = T_MAX) -> Hit:
     return hit_detail(scene, o, d, t, prim, found)
 
 
+# ---------------------------------------------------------------------------
+# backend dispatch
+# ---------------------------------------------------------------------------
+
+
+def _resolve_backend(options) -> str:
+    backend = getattr(options, "intersect_backend", "auto")
+    if backend == "auto":
+        import jax
+
+        plat = jax.default_backend()
+        backend = "pallas" if plat not in ("cpu",) else "xla"
+    return backend
+
+
+def query_lite(scene, o, d, options):
+    """Closest-hit (found, prim, t) via the configured backend.
+
+    All backends return the same winner; t is recomputed differentiably at
+    the winning primitive afterwards (`query_closest`), so Pallas (no AD
+    rule) and the BVH while_loop (no reverse AD) stay usable under grad.
+    """
+    backend = _resolve_backend(options)
+    if backend == "pallas" and scene.prims_packed is not None:
+        from plutracer_tpu.ops.pallas.intersect_kernel import intersect_lite_pallas
+
+        import jax
+
+        found, prim, t = intersect_lite_pallas(scene, o, d, scene.prims_packed)
+        return found, prim, jax.lax.stop_gradient(t)
+    if backend == "bvh" and scene.bvh is not None:
+        from plutracer_tpu.ops.bvh import bvh_closest
+
+        import jax
+
+        found, prim, t = bvh_closest(scene, scene.bvh, o, d)
+        return found, prim, jax.lax.stop_gradient(t)
+    return intersect_lite(scene, o, d)
+
+
+def query_closest(scene, o, d, options) -> Hit:
+    """Backend-dispatched closest hit with shading detail and a
+    differentiable t (recomputed at the winning primitive)."""
+    found, prim, t = query_lite(scene, o, d, options)
+    backend = _resolve_backend(options)
+    if backend != "xla":
+        # one differentiable ray-vs-one-primitive evaluation per ray
+        t_diff = intersect_prim_t(scene, prim, o, d)
+        t = jnp.where(found, t_diff, t)
+    return hit_detail(scene, o, d, t, prim, found)
+
+
 def intersect_prim_t(scene, prim_idx, o, d):
     """t for a *single* primitive row per ray (used by area-light pdfs)."""
     a = scene.prim_a[prim_idx]

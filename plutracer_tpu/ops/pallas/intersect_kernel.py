@@ -1,0 +1,187 @@
+"""Pallas closest-hit kernel: fused brute-force ray-scene intersection.
+
+The XLA path (ops/intersect.py) materializes a (B, P) t-matrix in HBM and
+runs dozens of small elementwise kernels. This kernel keeps everything in
+VMEM: each program owns a (32, 128) tile of 4096 rays, streams the
+primitive table through in chunks of 8 rows, and folds a running
+(best_t, best_prim) minimum — one kernel, no HBM intermediates.
+
+Layouts (TPU tiling: sublane x lane = (8k, 128)):
+- ray components ox..dz: (B/128, 128) f32, block (32, 128)
+- primitive table: (P, 16) f32 rows [type ax ay az bx by bz cx cy cz 0...],
+  block (8, 16); the j grid axis walks primitive chunks
+- outputs best_t (f32) and best_prim (i32): (B/128, 128), block (32, 128),
+  revisited across j (accumulator pattern)
+
+Same accept rules as ops/intersect.py (sphere both-roots>0, box tmin>=0,
+triangle Moller-Trumbore t>0), so results match the XLA path exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plutracer_tpu.ops.intersect import T_MAX, _BIG
+from plutracer_tpu.scene.types import PRIM_BOX, PRIM_SPHERE
+
+RAY_TILE = 4096  # rays per program: (32, 128)
+PRIM_TILE = 8  # primitive rows per inner step
+
+
+def _kernel(prims_ref, ox, oy, oz, dx, dy, dz, t_ref, p_ref):
+    import jax.experimental.pallas as pl
+
+    jprog = pl.program_id(1)
+
+    @pl.when(jprog == 0)
+    def _():
+        t_ref[:, :] = jnp.full(t_ref.shape, _BIG, jnp.float32)
+        p_ref[:, :] = jnp.zeros(p_ref.shape, jnp.int32)
+
+    o_x, o_y, o_z = ox[:, :], oy[:, :], oz[:, :]
+    d_x, d_y, d_z = dx[:, :], dy[:, :], dz[:, :]
+
+    best_t = t_ref[:, :]
+    best_p = p_ref[:, :]
+
+    for k in range(PRIM_TILE):
+        ptype = prims_ref[k, 0]
+        ax, ay, az = prims_ref[k, 1], prims_ref[k, 2], prims_ref[k, 3]
+        bx, by, bz = prims_ref[k, 4], prims_ref[k, 5], prims_ref[k, 6]
+        cx, cy, cz = prims_ref[k, 7], prims_ref[k, 8], prims_ref[k, 9]
+
+        # ---- sphere: a=center, bx=radius ----
+        vx, vy, vz = o_x - ax, o_y - ay, o_z - az
+        qb = -(vx * d_x + vy * d_y + vz * d_z)
+        det = qb * qb - (vx * vx + vy * vy + vz * vz) + bx * bx
+        sq = jnp.sqrt(jnp.maximum(det, 0.0))
+        i1 = qb - sq
+        i2 = qb + sq
+        t_s = jnp.where((det >= 0.0) & (i1 > 0.0) & (i2 > 0.0), i1, _BIG)
+
+        # ---- box: a=min, b=max ----
+        rx = 1.0 / jnp.where(d_x == 0.0, 1e-20, d_x)
+        ry = 1.0 / jnp.where(d_y == 0.0, 1e-20, d_y)
+        rz = 1.0 / jnp.where(d_z == 0.0, 1e-20, d_z)
+        t1x, t2x = (ax - o_x) * rx, (bx - o_x) * rx
+        t1y, t2y = (ay - o_y) * ry, (by - o_y) * ry
+        t1z, t2z = (az - o_z) * rz, (bz - o_z) * rz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        t_b = jnp.where((tmax >= tmin) & (tmin >= 0.0), tmin, _BIG)
+
+        # ---- triangle: a=v0, b=v1, c=v2 (Moller-Trumbore) ----
+        e1x, e1y, e1z = bx - ax, by - ay, bz - az
+        e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+        pvx = d_y * e2z - d_z * e2y
+        pvy = d_z * e2x - d_x * e2z
+        pvz = d_x * e2y - d_y * e2x
+        det_t = e1x * pvx + e1y * pvy + e1z * pvz
+        idet = 1.0 / jnp.where(det_t == 0.0, 1.0, det_t)
+        tvx, tvy, tvz = o_x - ax, o_y - ay, o_z - az
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * idet
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (d_x * qvx + d_y * qvy + d_z * qvz) * idet
+        t_tr = (e2x * qvx + e2y * qvy + e2z * qvz) * idet
+        ok_t = (
+            (det_t != 0.0)
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t_tr > 0.0)
+        )
+        t_t = jnp.where(ok_t, t_tr, _BIG)
+
+        t_k = jnp.where(
+            ptype == PRIM_SPHERE,
+            t_s,
+            jnp.where(ptype == PRIM_BOX, t_b, t_t),
+        )
+        prim_idx = jprog * PRIM_TILE + k
+        better = t_k < best_t
+        best_t = jnp.where(better, t_k, best_t)
+        best_p = jnp.where(better, prim_idx, best_p)
+
+    t_ref[:, :] = best_t
+    p_ref[:, :] = best_p
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_closest(prims_packed, ox, oy, oz, dx, dy, dz, interpret=False):
+    import jax.experimental.pallas as pl
+
+    Bs = ox.shape[0]  # rows of 128 rays
+    P = prims_packed.shape[0]
+    grid = (Bs // 32, P // PRIM_TILE)
+
+    ray_spec = pl.BlockSpec((32, 128), lambda i, j: (i, 0))
+    out_specs = [
+        pl.BlockSpec((32, 128), lambda i, j: (i, 0)),
+        pl.BlockSpec((32, 128), lambda i, j: (i, 0)),
+    ]
+    prim_spec = pl.BlockSpec((PRIM_TILE, 16), lambda i, j: (j, 0))
+
+    t, p = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[prim_spec] + [ray_spec] * 6,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bs, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Bs, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(prims_packed, ox, oy, oz, dx, dy, dz)
+    return t, p
+
+
+def pack_prims(scene) -> jnp.ndarray:
+    """(P_pad, 16) f32 primitive table; padding rows are degenerate
+    triangles (type 2, all-zero vertices) that can never hit."""
+    P = scene.prim_type.shape[0]
+    P_pad = -(-P // PRIM_TILE) * PRIM_TILE
+    rows = jnp.zeros((P_pad, 16), jnp.float32)
+    rows = rows.at[:, 0].set(2.0)  # default: degenerate triangle
+    rows = rows.at[:P, 0].set(scene.prim_type.astype(jnp.float32))
+    rows = rows.at[:P, 1:4].set(scene.prim_a)
+    rows = rows.at[:P, 4:7].set(scene.prim_b)
+    rows = rows.at[:P, 7:10].set(scene.prim_c)
+    return rows
+
+
+def intersect_lite_pallas(scene, o, d, prims_packed=None, interpret=False):
+    """Drop-in for ops.intersect.intersect_lite on TPU. o, d: (B, 3)."""
+    if prims_packed is None:
+        prims_packed = pack_prims(scene)
+    B = o.shape[0]
+    B_pad = -(-B // RAY_TILE) * RAY_TILE
+    pad = B_pad - B
+
+    def comp(x):
+        x = jnp.pad(x, (0, pad))
+        return x.reshape(B_pad // 128, 128)
+
+    ox, oy, oz = comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2])
+    # padded rays get d = (0,0,1): box_t guards /0, results discarded
+    dpad = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    dx = dpad[:, 0].reshape(B_pad // 128, 128)
+    dy = dpad[:, 1].reshape(B_pad // 128, 128)
+    dz = dpad[:, 2].reshape(B_pad // 128, 128)
+
+    t, p = _pallas_closest(prims_packed, ox, oy, oz, dx, dy, dz, interpret=interpret)
+    t = t.reshape(-1)[:B]
+    p = p.reshape(-1)[:B]
+    return t < T_MAX, p, t

@@ -54,7 +54,7 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
         scene, li, p, u[:, 0:2], u[:, 2], u[:, 3], options
     )
     f = bsdf_ops.bsdf_F_nee(mtype, albedo, n, wwo, ls.wi)
-    found2, prim2, _ = intersect.intersect_lite(scene, p, ls.wi)
+    found2, prim2, _ = intersect.query_lite(scene, p, ls.wi, options)
     # unoccluded: no hit at all, or (area light) nearest hit IS the light
     hits_light = found2 & (scene.prim_light[prim2] == li)
     unoccl = ~found2 | (~ls.is_delta & hits_light)
@@ -99,10 +99,10 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
         # reference passes the SHADING point's (p, n) into material::Le
         # (renderer.cpp:42): emission gated on dot(n_shading, -wi) > 0;
         # the hit's own normal is not needed, so use the lite query
-        found3, prim3, t3 = intersect.intersect_lite(scene, p, bs.wwi)
+        found3, prim3, t3 = intersect.query_lite(scene, p, bs.wwi, options)
         le_gate = _dot(n, -bs.wwi) > 0.0
     else:
-        hit3 = intersect.intersect_closest(scene, p, bs.wwi)
+        hit3 = intersect.query_closest(scene, p, bs.wwi, options)
         found3, prim3 = hit3.found, hit3.prim
         le_gate = _dot(hit3.norm, -bs.wwi) > 0.0
     same_light = found3 & (scene.prim_light[prim3] == li)
@@ -147,7 +147,7 @@ def ray_color(
         k = jax.random.fold_in(key, i)
         u = jax.random.uniform(k, (B, 12))
 
-        hit = intersect.intersect_closest(scene, o, d)
+        hit = intersect.query_closest(scene, o, d, options)
         cur = alive & hit.found
         wwo = -d
         mat = scene.prim_material[hit.prim]

@@ -65,7 +65,9 @@ def _prim_area(p, options: RenderOptions) -> float:
 
 
 def compile_scene(
-    desc: SceneDesc, options: RenderOptions = DEFAULT_OPTIONS
+    desc: SceneDesc,
+    options: RenderOptions = DEFAULT_OPTIONS,
+    build_accel: bool = True,
 ) -> SceneArrays:
     P = max(len(desc.prims), 1)
     M = max(len(desc.materials), 1)
@@ -142,7 +144,7 @@ def compile_scene(
     )
 
     dev = jnp.asarray
-    return SceneArrays(
+    scene = SceneArrays(
         prim_type=dev(prim_type),
         prim_a=dev(prim_a),
         prim_b=dev(prim_b),
@@ -176,3 +178,13 @@ def compile_scene(
         light_prim=dev(light_prim),
         camera=cam,
     )
+    if build_accel:
+        import dataclasses as _dc
+
+        from plutracer_tpu.ops.bvh import build_bvh
+        from plutracer_tpu.ops.pallas.intersect_kernel import pack_prims
+
+        scene = _dc.replace(
+            scene, bvh=build_bvh(scene), prims_packed=pack_prims(scene)
+        )
+    return scene

@@ -117,6 +117,10 @@ class SceneArrays:
 
     camera: CameraParams
 
+    # acceleration structures (derived; None until built by compile_scene)
+    bvh: Any = None  # ops.bvh.BvhArrays
+    prims_packed: Any = None  # (P_pad, 16) table for the Pallas kernel
+
     @property
     def num_prims(self) -> int:
         return self.prim_type.shape[0]

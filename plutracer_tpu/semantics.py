@@ -68,6 +68,11 @@ class RenderOptions:
     shadow_eps: float = 0.0  # reference traces shadow rays from p exactly
     dtype: str = "float32"
 
+    # --- execution backend for closest-hit queries ---
+    # "auto": Pallas kernel on TPU, XLA brute force elsewhere;
+    # "xla" | "pallas" | "bvh" force a specific path (all agree exactly).
+    intersect_backend: str = "auto"
+
     def replace(self, **kw) -> "RenderOptions":
         return dataclasses.replace(self, **kw)
 
