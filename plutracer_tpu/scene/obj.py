@@ -22,7 +22,17 @@ class ObjMesh:
     texcoords: np.ndarray
 
 
-def load_obj(path: str) -> ObjMesh:
+def load_obj(path: str, use_native: bool = True) -> ObjMesh:
+    if use_native:
+        from plutracer_tpu import native as _native
+
+        out = _native.load_obj_native(path)
+        if out is not None:
+            return ObjMesh(*out)
+    return load_obj_python(path)
+
+
+def load_obj_python(path: str) -> ObjMesh:
     poss: List[List[float]] = []
     norms: List[List[float]] = []
     uvs: List[List[float]] = []
