@@ -35,6 +35,11 @@ class InverseRenderConfig:
     mesh_shape: Optional[tuple] = None  # default: all devices on `tiles`
     log_every: int = 20
     options: RenderOptions = DEFAULT_OPTIONS
+    loss_space: str = "ab"
+    trainable: tuple = ("mat_color", "light_intensity", "tex_c0", "tex_c1")
+    # project parameters to be nonnegative after each update (albedo,
+    # emission, and texture colors are physically >= 0)
+    project_nonnegative: bool = True
 
 
 def optimize_scene(
@@ -55,7 +60,8 @@ def optimize_scene(
     opt = optax.adam(config.learning_rate)
     step = make_train_step(
         scene, config.width, config.height, config.n, mesh, optimizer=opt,
-        options=config.options,
+        options=config.options, loss_space=config.loss_space,
+        trainable=config.trainable,
     )
     params = init_params if init_params is not None else get_params(scene)
     opt_state = step.init(params)
@@ -71,6 +77,8 @@ def optimize_scene(
             jax.random.fold_in(key, i),
             jnp.int32(i % spp),
         )
+        if config.project_nonnegative:
+            params = jax.tree.map(lambda x: jnp.maximum(x, 0.0), params)
         losses.append(float(loss))
         if callback and (i % config.log_every == 0 or i == config.steps - 1):
             callback(i, losses[-1], params)

@@ -127,14 +127,29 @@ def make_train_step(
     mesh: Mesh,
     optimizer=None,
     options: RenderOptions = DEFAULT_OPTIONS,
+    loss_space: str = "ab",
+    trainable=DIFFERENTIABLE_FIELDS,
 ):
     """Build a jitted, sharded inverse-rendering step.
 
     step(params, opt_state, target, key, stratum) -> (params, opt_state, loss)
 
-    Renders one stratified pass with the given params, computes mean squared
-    error against the target linear image, all-reduces parameter gradients
-    over the mesh, and applies the optimizer update (replicated).
+    Renders one stratified pass with the given params, compares against the
+    target linear image, all-reduces parameter gradients over the mesh, and
+    applies the optimizer update (replicated).
+
+    loss_space:
+    - "ab" (default): dual-buffer product loss (X_a - t) . (X_b - t) over
+      two INDEPENDENT render passes. Its expectation is exactly
+      (E[X] - t)^2 per pixel, so the optimum is the true parameters even
+      though each X is a noisy Monte-Carlo estimate — a plain MSE of a
+      stochastic estimator minimizes squared-bias PLUS estimator variance,
+      which biases albedo-like parameters low (variance grows with albedo).
+      Costs two renders per step.
+    - "linear": naive MSE of one pass (biased by estimator variance).
+    - "log": MSE of log1p radiances (bounded dynamic range, but Jensen- and
+      variance-biased; useful for very high-dynamic-range emissive scenes).
+    trainable: parameter fields to update (others get zero gradients).
     """
     import optax
 
@@ -145,6 +160,12 @@ def make_train_step(
     px_pad, n_px = _pad_to(px_all, d_tiles)
     target_spec = P("tiles")
 
+    def _compare(c, t):
+        if loss_space == "log":
+            c = jnp.log1p(jnp.maximum(c, 0.0))
+            t = jnp.log1p(jnp.maximum(t, 0.0))
+        return jnp.sum((c - t) ** 2) / (px_pad.shape[0] * 3)
+
     def shard_loss_grad(params, px_local, target_local, key, stratum):
         ti = jax.lax.axis_index("tiles")
         si = jax.lax.axis_index("spp")
@@ -152,11 +173,22 @@ def make_train_step(
 
         def local_loss(params):
             sc = apply_params(scene, params)
+            if loss_space == "ab":
+                ka, kb = jax.random.split(k)
+                xa = _trace_stratum(sc, px_local, stratum, n, ka, options)
+                xb = _trace_stratum(sc, px_local, stratum, n, kb, options)
+                da = xa - target_local
+                db = xb - target_local
+                return jnp.sum(da * db) / (px_pad.shape[0] * 3)
             c = _trace_stratum(sc, px_local, stratum, n, k, options)
             # mean over the full (padded) pixel count; psum completes it
-            return jnp.sum((c - target_local) ** 2) / (px_pad.shape[0] * 3)
+            return _compare(c, target_local)
 
         loss, grads = jax.value_and_grad(local_loss)(params)
+        grads = {
+            f: (g if f in trainable else jnp.zeros_like(g))
+            for f, g in grads.items()
+        }
         loss = jax.lax.psum(loss, "tiles")
         grads = jax.lax.psum(grads, "tiles")
         # spp axis shards independent strata of the same estimator: average

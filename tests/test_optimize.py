@@ -1,0 +1,46 @@
+"""Inverse rendering end-to-end: recover perturbed texture colors.
+
+Uses room.urn: point lights give Monte-Carlo-noise-free direct lighting and
+the checkerboard floor covers half the image, so the texture-color gradient
+signal is strong and convergence is testable on CPU in ~100 steps.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from plutracer_tpu.diff import InverseRenderConfig, optimize_scene
+from plutracer_tpu.parallel.sharded import get_params
+from plutracer_tpu.render.renderer import render
+from plutracer_tpu.scene import compile_scene, load_scene_file
+
+
+def test_optimize_recovers_texture_colors(eight_devices):
+    d = load_scene_file("/root/reference/scenes/room.urn", ["/res", "24x18"])
+    scene = compile_scene(d)
+    target = render(scene, 24, 18, 2, jax.random.PRNGKey(11))
+
+    true_params = get_params(scene)
+    init = dict(true_params)
+    # perturb the checkerboard's bright squares (tex_c1 = 0.8 grey)
+    init["tex_c1"] = true_params["tex_c1"] * 0.25
+
+    cfg = InverseRenderConfig(
+        width=24, height=18, n=2, steps=100, learning_rate=3e-2,
+        mesh_shape=(4, 2), log_every=1000, trainable=("tex_c1",),
+    )
+    params, losses = optimize_scene(scene, target, cfg, init_params=init)
+
+    # the ab-loss has an irreducible floor (the fixed target's own MC
+    # noise), so assert decrease, and judge success by parameter recovery
+    tail = float(np.mean(losses[-10:]))
+    head = float(np.mean(losses[:10]))
+    assert tail < 0.85 * head, (head, tail)
+
+    true_c = np.asarray(true_params["tex_c1"][0])
+    got_c = np.asarray(params["tex_c1"][0])
+    init_c = np.asarray(init["tex_c1"][0])
+    err_init = np.abs(init_c - true_c).mean()
+    err_final = np.abs(got_c - true_c).mean()
+    assert err_final < 0.4 * err_init, (err_init, err_final, got_c)
+    assert (np.asarray(params["tex_c1"]) >= 0).all()  # projection held
