@@ -34,8 +34,9 @@ def main() -> None:
     scene = compile_scene(desc)
     key = jax.random.PRNGKey(0)
 
-    # warmup/compile
-    render_pass(scene, key, jnp.int32(0), w, h, n).block_until_ready()
+    # warmup/compile; a scalar readback is the only honest sync point
+    # through the remote-device relay (block_until_ready returns early)
+    float(render_pass(scene, key, jnp.int32(0), w, h, n).sum())
 
     passes = 8
     t0 = time.perf_counter()
@@ -43,7 +44,7 @@ def main() -> None:
     for s in range(passes):
         out = render_pass(scene, jax.random.fold_in(key, s), jnp.int32(s), w, h, n)
         acc = out if acc is None else acc + out
-    acc.block_until_ready()
+    float(acc.sum())
     dt = time.perf_counter() - t0
 
     samples = w * h * passes
