@@ -17,18 +17,24 @@ uniform_sample_one_light (src/renderer.cpp:5-96):
 - point lights are occluded by ANY hit along the shadow ray, even beyond
   the light itself (renderer.cpp:16-17 traces to t_max) — replicated.
 
-The bounce loop is `lax.scan` over megabatches with an alive mask; discrete
-material/light choices are masked selects. RNG is counter-based: the caller
-provides one key per batch, folded with the bounce index.
+Execution shape: `lax.scan` over megabatches with an alive mask; discrete
+material/light choices are masked selects. Each bounce issues ONE batched
+closest-hit query over 3B rays (shadow + NEE-BSDF + extension, all
+originating at the shading point); the extension hit is carried into the
+next iteration, so the per-bounce kernel count stays flat. RNG is
+counter-based: one key per batch, folded with the bounce index.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from plutracer_tpu.ops import bsdf as bsdf_ops
 from plutracer_tpu.ops import intersect, lights
+from plutracer_tpu.ops.texture import eval_color
 from plutracer_tpu.semantics import DEFAULT_OPTIONS, RenderOptions
 
 
@@ -36,29 +42,23 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def _safe_div(a, b, eps=0.0):
+def _safe_div(a, b):
     return a / jnp.where(b == 0.0, 1.0, b)
 
 
-def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
-    """estimate_direct_light (src/renderer.cpp:5-51) for one sampled light
-    per ray. `u`: (B, 8) uniforms: [light u2 (2), box face (1), box axis (1),
-    bsdf select (1), bsdf u2 (2), unused (1)]."""
+def _nee_contributions(
+    scene, hit, frame, mtype, albedo, wwo, li, u, options, ls, bs,
+    shadow_found, shadow_prim, nee_found, nee_prim, nee_norm,
+):
+    """Assemble estimate_direct_light (renderer.cpp:5-51) once visibility
+    results for the shadow ray and the BSDF-strategy ray are known."""
     p = hit.p
     n = hit.norm
-    eta3 = scene.mat_eta[scene.prim_material[hit.prim]]
-    k3 = scene.mat_k[scene.prim_material[hit.prim]]
 
     # ---- light-sampling strategy ----
-    ls = lights.sample_light(
-        scene, li, p, u[:, 0:2], u[:, 2], u[:, 3], options
-    )
     f = bsdf_ops.bsdf_F_nee(mtype, albedo, n, wwo, ls.wi)
-    found2, prim2, _ = intersect.query_lite(scene, p, ls.wi, options)
-    # unoccluded: no hit at all, or (area light) nearest hit IS the light
-    hits_light = found2 & (scene.prim_light[prim2] == li)
-    unoccl = ~found2 | (~ls.is_delta & hits_light)
-
+    hits_light = shadow_found & (scene.prim_light[shadow_prim] == li)
+    unoccl = ~shadow_found | (~ls.is_delta & hits_light)
     b_pdf = bsdf_ops.bsdf_pdf_nee(frame, mtype, wwo, ls.wi)
     if options.swapped_light_mis_weight:
         w = _safe_div(b_pdf * b_pdf, b_pdf * b_pdf + ls.pdf * ls.pdf)
@@ -81,31 +81,16 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
     contrib_l = jnp.where(gate_l[..., None], contrib_l, 0.0)
 
     # ---- BSDF-sampling strategy (non-delta lights only) ----
-    bs = bsdf_ops.bsdf_sample(
-        frame,
-        mtype,
-        albedo,
-        eta3,
-        k3,
-        wwo,
-        u[:, 4],
-        u[:, 5:7],
-        non_specular_only=True,
-    )
     l_pdf2 = lights.light_pdf(scene, li, p, bs.wwi, options)
     w2 = _safe_div(bs.pdf * bs.pdf, bs.pdf * bs.pdf + l_pdf2 * l_pdf2)
     w2 = jnp.where(bs.is_specular, 1.0, w2)
     if options.shading_normal_le_gate:
         # reference passes the SHADING point's (p, n) into material::Le
-        # (renderer.cpp:42): emission gated on dot(n_shading, -wi) > 0;
-        # the hit's own normal is not needed, so use the lite query
-        found3, prim3, t3 = intersect.query_lite(scene, p, bs.wwi, options)
+        # (renderer.cpp:42): emission gated on dot(n_shading, -wi) > 0
         le_gate = _dot(n, -bs.wwi) > 0.0
     else:
-        hit3 = intersect.query_closest(scene, p, bs.wwi, options)
-        found3, prim3 = hit3.found, hit3.prim
-        le_gate = _dot(hit3.norm, -bs.wwi) > 0.0
-    same_light = found3 & (scene.prim_light[prim3] == li)
+        le_gate = _dot(nee_norm, -bs.wwi) > 0.0
+    same_light = nee_found & (scene.prim_light[nee_prim] == li)
     Li2 = jnp.where(
         (same_light & le_gate)[..., None],
         scene.light_intensity[jnp.maximum(li, 0)],
@@ -116,7 +101,7 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
         & (_dot(bs.f, bs.f) > 0.0)
         & (bs.pdf > 0.0)
         & (bs.is_specular | (l_pdf2 != 0.0))  # early return when light_pdf==0
-        & found3
+        & nee_found
         & (_dot(Li2, Li2) > 0.0)
     )
     contrib_b = (
@@ -127,8 +112,30 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
         ]
     )
     contrib_b = jnp.where(gate_b[..., None], contrib_b, 0.0)
-
     return contrib_l + contrib_b
+
+
+def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
+    """Standalone estimate_direct_light (kept for tests/tools; ray_color
+    uses the batched-query path below). `u`: (B, 8) uniforms."""
+    ls = lights.sample_light(scene, li, hit.p, u[:, 0:2], u[:, 2], u[:, 3], options)
+    bs = bsdf_ops.bsdf_sample(
+        frame, mtype, albedo,
+        scene.mat_eta[scene.prim_material[hit.prim]],
+        scene.mat_k[scene.prim_material[hit.prim]],
+        wwo, u[:, 4], u[:, 5:7], non_specular_only=True,
+    )
+    sf, sp, _ = intersect.query_lite(scene, hit.p, ls.wi, options)
+    if options.shading_normal_le_gate:
+        nf, npr, _ = intersect.query_lite(scene, hit.p, bs.wwi, options)
+        nn = hit.norm
+    else:
+        h3 = intersect.query_closest(scene, hit.p, bs.wwi, options)
+        nf, npr, nn = h3.found, h3.prim, h3.norm
+    return _nee_contributions(
+        scene, hit, frame, mtype, albedo, wwo, li, u, options, ls, bs,
+        sf, sp, nf, npr, nn,
+    )
 
 
 def ray_color(
@@ -142,55 +149,81 @@ def ray_color(
     B = o.shape[0]
     num_lights = scene.light_type.shape[0]
 
+    # primary hit (reference traces it before entering the bounce loop,
+    # renderer.cpp:61); subsequent hits ride the batched per-bounce query
+    found0, prim0, t0 = intersect.query_lite(scene, o, d, options)
+    if intersect._resolve_backend(options) != "xla":
+        t0 = jnp.where(found0, intersect.intersect_prim_t(scene, prim0, o, d), t0)
+
     def body(carry, i):
-        o, d, T, L, prev_spec, alive, = carry
+        o, d, T, L, prev_spec, alive, found, prim, t = carry
         k = jax.random.fold_in(key, i)
         u = jax.random.uniform(k, (B, 12))
 
-        hit = intersect.query_closest(scene, o, d, options)
+        hit = intersect.hit_detail(scene, o, d, t, prim, found)
         cur = alive & hit.found
         wwo = -d
         mat = scene.prim_material[hit.prim]
         mtype = scene.mat_type[mat]
-        from plutracer_tpu.ops.texture import eval_color
-
         albedo = eval_color(scene, mat, hit.uv)
         frame = bsdf_ops.make_frame(hit.norm, hit.dpdu)
 
         # emitted light at the vertex (first or post-specular only)
         emit_gate = (i == 0) | prev_spec
         Le = lights.emitted(scene, hit.prim, hit.norm, wwo)
-        L = L + jnp.where(
-            (cur & emit_gate)[..., None], T * Le, 0.0
-        )
+        L = L + jnp.where((cur & emit_gate)[..., None], T * Le, 0.0)
 
         # next-event estimation: pick one light uniformly
         li = jnp.minimum(
             jnp.floor(u[:, 0] * num_lights).astype(jnp.int32), num_lights - 1
         )
-        Ld = estimate_direct(
-            scene, hit, frame, mtype, albedo, wwo, li, u[:, 1:9], options
+        ls = lights.sample_light(
+            scene, li, hit.p, u[:, 1:3], u[:, 3], u[:, 4], options
+        )
+        eta3 = scene.mat_eta[mat]
+        k3 = scene.mat_k[mat]
+        bs_nee = bsdf_ops.bsdf_sample(
+            frame, mtype, albedo, eta3, k3, wwo, u[:, 5], u[:, 6:8],
+            non_specular_only=True,
+        )
+        # main BSDF sample for the path extension
+        bs = bsdf_ops.bsdf_sample(
+            frame, mtype, albedo, eta3, k3, wwo, u[:, 9], u[:, 10:12]
+        )
+
+        # ONE batched closest-hit query: [shadow | nee-bsdf | extension]
+        O3 = jnp.concatenate([hit.p, hit.p, hit.p], 0)
+        D3 = jnp.concatenate([ls.wi, bs_nee.wwi, bs.wwi], 0)
+        f3, p3, t3 = intersect.query_lite(scene, O3, D3, options)
+        sf, nf, xf = f3[:B], f3[B : 2 * B], f3[2 * B :]
+        sp, npr, xp = p3[:B], p3[B : 2 * B], p3[2 * B :]
+        xt = t3[2 * B :]
+
+        if options.shading_normal_le_gate:
+            nee_norm = hit.norm  # unused in this mode
+        else:
+            nee_norm = intersect.hit_detail(
+                scene, hit.p, bs_nee.wwi, t3[B : 2 * B], npr, nf
+            ).norm
+        Ld = _nee_contributions(
+            scene, hit, frame, mtype, albedo, wwo, li, u, options, ls, bs_nee,
+            sf, sp, nf, npr, nee_norm,
         )
         L = L + jnp.where(cur[..., None], T * Ld * num_lights, 0.0)
 
-        # sample BSDF for the next direction
-        bs = bsdf_ops.bsdf_sample(
-            frame,
-            mtype,
-            albedo,
-            scene.mat_eta[mat],
-            scene.mat_k[mat],
-            wwo,
-            u[:, 9],
-            u[:, 10:12],
-        )
+        # throughput update + path termination
         ok = (_dot(bs.f, bs.f) > 0.0) & (bs.pdf > 0.0)
         alive_next = cur & ok & (i <= options.max_bounces - 2)
-        T_next = T * bs.f * (jnp.abs(_dot(bs.wwi, hit.norm)) * _safe_div(
-            jnp.ones_like(bs.pdf), bs.pdf
-        ))[..., None]
+        T_next = T * bs.f * (
+            jnp.abs(_dot(bs.wwi, hit.norm)) * _safe_div(jnp.ones_like(bs.pdf), bs.pdf)
+        )[..., None]
         T = jnp.where(alive_next[..., None], T_next, T)
-        return (hit.p, bs.wwi, T, L, bs.is_specular, alive_next), None
+
+        # differentiable t recompute for non-AD backends (see query_closest)
+        if intersect._resolve_backend(options) != "xla":
+            xt_diff = intersect.intersect_prim_t(scene, xp, hit.p, bs.wwi)
+            xt = jnp.where(xf, xt_diff, xt)
+        return (hit.p, bs.wwi, T, L, bs.is_specular, alive_next, xf, xp, xt), None
 
     # derive carry inits from the (possibly shard_map-varying) ray inputs so
     # the scan carry has consistent varying-manual-axis types under shard_map
@@ -202,8 +235,9 @@ def ray_color(
         zeros3,
         jnp.zeros_like(o[..., 0], dtype=bool),
         jnp.zeros_like(o[..., 0], dtype=bool) | True,
+        found0,
+        prim0,
+        t0,
     )
-    (o_, d_, T, L, spec, alive), _ = jax.lax.scan(
-        body, init, jnp.arange(options.max_bounces)
-    )
-    return L
+    carry, _ = jax.lax.scan(body, init, jnp.arange(options.max_bounces))
+    return carry[3]
