@@ -291,12 +291,16 @@ def _triangle_detail(o, d, v0, v1, v2, uv0, uv1, uv2):
     return norm, uv, U
 
 
-def hit_detail(scene, o, d, t, prim, found) -> Hit:
-    """Gather the winning primitive's params and compute shading detail."""
-    a = scene.prim_a[prim]
-    b = scene.prim_b[prim]
-    c = scene.prim_c[prim]
-    ptype = scene.prim_type[prim]
+def hit_detail_rows(o, d, t, prim, found, rows) -> Hit:
+    """Shading detail from pre-gathered primitive rows (ops.tables.PrimRows).
+
+    One packed-row gather upstream replaces the ~9 per-field gathers this
+    function used to issue (the per-field gathers plus their layout copies
+    dominated TPU bounce time)."""
+    a = rows.a
+    b = rows.b
+    c = rows.c
+    ptype = rows.ptype
     # clamp t on missed lanes: t = _BIG would overflow p's dot products to
     # inf, and any NaN in masked-off primals still poisons reverse-mode
     # gradients (0 * NaN = NaN in the vjp)
@@ -309,9 +313,7 @@ def hit_detail(scene, o, d, t, prim, found) -> Hit:
     )
     sn, suv, sdpdu = _sphere_detail(p, sp_norm, a, b[..., 0])
     bn, buv, bdpdu = _box_detail(p, a, b)
-    tn, tuv, tdpdu = _triangle_detail(
-        o, d, a, b, c, scene.prim_uv0[prim], scene.prim_uv1[prim], scene.prim_uv2[prim]
-    )
+    tn, tuv, tdpdu = _triangle_detail(o, d, a, b, c, rows.uv0, rows.uv1, rows.uv2)
 
     is_s = (ptype == PRIM_SPHERE)[..., None]
     is_b = (ptype == PRIM_BOX)[..., None]
@@ -327,3 +329,16 @@ def hit_detail(scene, o, d, t, prim, found) -> Hit:
     dpdu = jax.lax.stop_gradient(dpdu)
 
     return Hit(found=found, t=t, prim=prim, p=p, norm=norm, uv=uv, dpdu=dpdu)
+
+
+def hit_detail(scene, o, d, t, prim, found) -> Hit:
+    """Gather the winning primitive's params and compute shading detail."""
+    from plutracer_tpu.ops.tables import gather_prim, pack_tables
+
+    rows = gather_prim(pack_tables(scene), prim)
+    return hit_detail_rows(o, d, t, prim, found, rows)
+
+
+def prim_t_rows(o, d, rows):
+    """t for one pre-gathered primitive row per ray."""
+    return _prim_t_batched(o, d, rows.ptype, rows.a, rows.b, rows.c)

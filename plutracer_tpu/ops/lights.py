@@ -6,6 +6,11 @@ solid-angle pdf surface::pdf(p, wi) (inc/surface.h:27-33) whose distance
 term is the squared distance of the hit point from the WORLD ORIGIN — a
 reference bug that changes images, replicated behind
 RenderOptions.origin_distance_pdf.
+
+The primary implementations operate on pre-gathered packed rows
+(ops.tables.LightRows / PrimRows) so a bounce issues a handful of gathers
+instead of dozens; the scene-based wrappers at the bottom keep the simple
+API for tests and tools.
 """
 
 from __future__ import annotations
@@ -17,6 +22,13 @@ import jax.numpy as jnp
 
 from plutracer_tpu.ops import intersect
 from plutracer_tpu.ops.sampling import uniform_sphere_sample
+from plutracer_tpu.ops.tables import (
+    LightRows,
+    PrimRows,
+    gather_light,
+    gather_prim,
+    pack_tables,
+)
 from plutracer_tpu.scene.types import (
     LIGHT_AREA,
     LIGHT_POINT,
@@ -39,8 +51,8 @@ def _normalize(v):
 # ---------------------------------------------------------------------------
 
 
-def sample_surface(scene, prim_idx, u2, u_face, u_axis):
-    """Sample a point + normal on primitive rows.
+def sample_surface_rows(rows: PrimRows, u2, u_face, u_axis):
+    """Sample a point + normal on pre-gathered primitive rows.
 
     - sphere (inc/surfaces/sphere.h:18-22): uniform sphere point.
     - box (inc/surfaces/box.h:23-47): U = (u2.x, u_face, u2.y); snap a
@@ -50,10 +62,8 @@ def sample_surface(scene, prim_idx, u2, u_face, u_axis):
       w = 1-(u.x+u.y) (can leave the triangle when u.x+u.y > 1 —
       reference-faithful).
     """
-    ptype = scene.prim_type[prim_idx]
-    a = scene.prim_a[prim_idx]
-    b = scene.prim_b[prim_idx]
-    c = scene.prim_c[prim_idx]
+    ptype = rows.ptype
+    a, b, c = rows.a, rows.b, rows.c
 
     # sphere
     ns_s = uniform_sphere_sample(u2)
@@ -74,11 +84,7 @@ def sample_surface(scene, prim_idx, u2, u_face, u_axis):
     uy = u2[..., 1:2]
     wz = 1.0 - (ux + uy)
     ps_t = a * ux + b * uy + c * wz
-    ns_t = (
-        scene.prim_n0[prim_idx] * ux
-        + scene.prim_n1[prim_idx] * uy
-        + scene.prim_n2[prim_idx] * wz
-    )
+    ns_t = rows.n0 * ux + rows.n1 * uy + rows.n2 * wz
 
     is_s = (ptype == PRIM_SPHERE)[..., None]
     is_b = (ptype == PRIM_BOX)[..., None]
@@ -87,30 +93,27 @@ def sample_surface(scene, prim_idx, u2, u_face, u_axis):
     return ps, ns
 
 
-def surface_pdf(scene, prim_idx, p, wi, options: RenderOptions):
-    """surface::pdf(p, wi): trace against this primitive only; 0 on miss,
-    else dist^2 / (|cos| * area) — where dist^2 is |hit point|^2 from the
-    world origin when options.origin_distance_pdf (the reference bug), else
-    the textbook t^2."""
-    t = intersect.intersect_prim_t(scene, prim_idx, p, wi)
+def surface_pdf_rows(rows: PrimRows, p, wi, options: RenderOptions):
+    """surface::pdf(p, wi) against pre-gathered carrier rows: trace this
+    primitive only; 0 on miss, else dist^2 / (|cos| * area) — dist^2 is the
+    hit point's squared distance from the WORLD ORIGIN under
+    options.origin_distance_pdf (the reference bug), else textbook t^2."""
+    t = intersect.prim_t_rows(p, wi, rows)
     found = t < intersect.T_MAX
     ts = jnp.where(found, t, 0.0)
     hitp = p + wi * ts[..., None]
-    # hit normal at the pdf probe point
-    det = intersect.hit_detail(
-        scene, p, wi, ts, prim_idx, found
-    )
+    det = intersect.hit_detail_rows(p, wi, ts, rows.ptype * 0, found, rows)
     if options.origin_distance_pdf:
         dist2 = _dot(hitp, hitp)
     else:
         dist2 = ts * ts
-    denom = jnp.abs(_dot(det.norm, -wi)) * scene.prim_area[prim_idx]
+    denom = jnp.abs(_dot(det.norm, -wi)) * rows.area
     pdf = dist2 / jnp.maximum(denom, 1e-20)
     return jnp.where(found, pdf, 0.0)
 
 
 # ---------------------------------------------------------------------------
-# light interface
+# light interface (row-based)
 # ---------------------------------------------------------------------------
 
 
@@ -121,33 +124,32 @@ class LightSample(NamedTuple):
     is_delta: jnp.ndarray  # (B,) bool
 
 
-def sample_light(
-    scene, light_idx, p, u2, u_face, u_axis, options: RenderOptions
+def sample_light_rows(
+    lrows: LightRows,
+    carrier: PrimRows,
+    p,
+    u2,
+    u_face,
+    u_axis,
+    options: RenderOptions,
 ) -> LightSample:
-    """light::sampleL(p, smp, &wi, &pdf, &vis) for a batch.
-
-    light_idx: (B,) rows into the light table.
-    """
-    ltype = scene.light_type[light_idx]
-    is_delta = ltype == LIGHT_POINT
+    """light::sampleL(p, smp, &wi, &pdf, &vis) from pre-gathered rows."""
+    is_delta = lrows.ltype == LIGHT_POINT
 
     # point light (inc/light.h:20-27)
-    l2p = scene.light_pos[light_idx] - p
+    l2p = lrows.pos - p
     len2 = jnp.maximum(_dot(l2p, l2p), 1e-20)
     wi_p = l2p / jnp.sqrt(len2)[..., None]
-    li_p = scene.light_intensity[light_idx] / len2[..., None]
+    li_p = lrows.intensity / len2[..., None]
     pdf_p = jnp.ones_like(len2)
 
     # diffuse area light (inc/lights/area_light.h:25-31)
-    prim = jnp.maximum(scene.light_prim[light_idx], 0)
-    ps, ns = sample_surface(scene, prim, u2, u_face, u_axis)
+    ps, ns = sample_surface_rows(carrier, u2, u_face, u_axis)
     wi_a = _normalize(ps - p)
-    pdf_a = surface_pdf(scene, prim, p, wi_a, options)
+    pdf_a = surface_pdf_rows(carrier, p, wi_a, options)
     # L(ps, ns, -wi): one-sided emission using the light's own normal here
     front = _dot(ns, -wi_a) > 0.0
-    li_a = jnp.where(
-        front[..., None], scene.light_intensity[light_idx], 0.0
-    )
+    li_a = jnp.where(front[..., None], lrows.intensity, 0.0)
 
     d = is_delta[..., None]
     return LightSample(
@@ -158,21 +160,54 @@ def sample_light(
     )
 
 
-def light_pdf(scene, light_idx, p, wi, options: RenderOptions):
+def light_pdf_rows(lrows: LightRows, carrier: PrimRows, p, wi, options):
     """light::pdf(p, wi): 0 for delta lights, surface pdf for area lights."""
-    ltype = scene.light_type[light_idx]
-    prim = jnp.maximum(scene.light_prim[light_idx], 0)
-    pdf_a = surface_pdf(scene, prim, p, wi, options)
-    return jnp.where(ltype == LIGHT_AREA, pdf_a, 0.0)
+    pdf_a = surface_pdf_rows(carrier, p, wi, options)
+    return jnp.where(lrows.ltype == LIGHT_AREA, pdf_a, 0.0)
+
+
+def emitted_rows(prim_rows: PrimRows, lrows_of_prim: LightRows, norm, w):
+    """material::Le at a hit: the linked area light's one-sided Lemit
+    (area_light.h:21-23 via material.cpp:67-70); 0 for non-emissive.
+    lrows_of_prim: light rows gathered at max(prim_rows.light, 0)."""
+    has = prim_rows.light >= 0
+    gate = _dot(norm, w) > 0.0
+    return jnp.where((has & gate)[..., None], lrows_of_prim.intensity, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# scene-based wrappers (tests/tools API)
+# ---------------------------------------------------------------------------
+
+
+def sample_surface(scene, prim_idx, u2, u_face, u_axis):
+    rows = gather_prim(pack_tables(scene), prim_idx)
+    return sample_surface_rows(rows, u2, u_face, u_axis)
+
+
+def surface_pdf(scene, prim_idx, p, wi, options: RenderOptions):
+    rows = gather_prim(pack_tables(scene), prim_idx)
+    return surface_pdf_rows(rows, p, wi, options)
+
+
+def sample_light(
+    scene, light_idx, p, u2, u_face, u_axis, options: RenderOptions
+) -> LightSample:
+    tables = pack_tables(scene)
+    lrows = gather_light(tables, light_idx)
+    carrier = gather_prim(tables, jnp.maximum(lrows.prim, 0))
+    return sample_light_rows(lrows, carrier, p, u2, u_face, u_axis, options)
+
+
+def light_pdf(scene, light_idx, p, wi, options: RenderOptions):
+    tables = pack_tables(scene)
+    lrows = gather_light(tables, light_idx)
+    carrier = gather_prim(tables, jnp.maximum(lrows.prim, 0))
+    return light_pdf_rows(lrows, carrier, p, wi, options)
 
 
 def emitted(scene, prim_idx, norm, w):
-    """material::Le at a hit: the linked area light's one-sided Lemit
-    (area_light.h:21-23 via material.cpp:67-70); 0 for non-emissive."""
-    li = scene.prim_light[prim_idx]
-    has = li >= 0
-    safe = jnp.maximum(li, 0)
-    gate = _dot(norm, w) > 0.0
-    return jnp.where(
-        (has & gate)[..., None], scene.light_intensity[safe], 0.0
-    )
+    tables = pack_tables(scene)
+    prows = gather_prim(tables, prim_idx)
+    lrows = gather_light(tables, jnp.maximum(prows.light, 0))
+    return emitted_rows(prows, lrows, norm, w)

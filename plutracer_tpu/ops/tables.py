@@ -1,0 +1,250 @@
+"""Packed gather tables.
+
+TPU profiling shows the integrator's cost is dominated not by intersection
+math but by dozens of small per-field gathers (scene.prim_a[prim],
+scene.mat_color[mat], ...) and the layout-conversion copies XLA inserts
+around them (~0.5-3.7 ms each at B=262k). Packing each entity's fields into
+one row matrix turns ~40 gathers per bounce into ~5: gather one (B, W) row
+block, then slice columns (free — same layout).
+
+Packing happens at *trace time* from the SceneArrays fields, so gradients
+flow through the pack into the original differentiable leaves
+(mat_color, light_intensity, tex_c0/c1).
+
+Column layouts (all f32; integer ids are exact in f32 below 2^24):
+
+prim (W=32): 0 type | 1:4 a | 4:7 b | 7:10 c | 10:13 n0 | 13:16 n1 |
+             16:19 n2 | 19:21 uv0 | 21:23 uv1 | 23:25 uv2 | 25 material |
+             26 light | 27 area | 28:32 pad
+mat  (W=12): 0 type | 1:4 color | 4 tex | 5:8 eta | 8:11 k | 11 pad
+tex  (W=12): 0 type | 1:4 c0 | 4:7 c1 | 7 scale | 8 line | 9 ofs | 10 w | 11 h
+light (W=8): 0 type | 1:4 pos | 4:7 intensity | 7 prim
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class PackedTables(NamedTuple):
+    prim: jnp.ndarray  # (P, 32)
+    mat: jnp.ndarray  # (M, 12)
+    tex: jnp.ndarray  # (T, 12)
+    light: jnp.ndarray  # (L, 8)
+
+
+def pack_tables(scene) -> PackedTables:
+    f = lambda x: x.astype(jnp.float32)
+    c1 = lambda x: f(x)[:, None]
+    P = scene.prim_type.shape[0]
+    prim = jnp.concatenate(
+        [
+            c1(scene.prim_type),
+            f(scene.prim_a),
+            f(scene.prim_b),
+            f(scene.prim_c),
+            f(scene.prim_n0),
+            f(scene.prim_n1),
+            f(scene.prim_n2),
+            f(scene.prim_uv0),
+            f(scene.prim_uv1),
+            f(scene.prim_uv2),
+            c1(scene.prim_material),
+            c1(scene.prim_light),
+            c1(scene.prim_area),
+            jnp.zeros((P, 4), jnp.float32),
+        ],
+        axis=1,
+    )
+    M = scene.mat_type.shape[0]
+    mat = jnp.concatenate(
+        [
+            c1(scene.mat_type),
+            f(scene.mat_color),
+            c1(scene.mat_tex),
+            f(scene.mat_eta),
+            f(scene.mat_k),
+            jnp.zeros((M, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    T = scene.tex_type.shape[0]
+    tex = jnp.concatenate(
+        [
+            c1(scene.tex_type),
+            f(scene.tex_c0),
+            f(scene.tex_c1),
+            c1(scene.tex_scale),
+            c1(scene.tex_line),
+            c1(scene.tex_img_ofs),
+            c1(scene.tex_img_w),
+            c1(scene.tex_img_h),
+        ],
+        axis=1,
+    )
+    light = jnp.concatenate(
+        [
+            c1(scene.light_type),
+            f(scene.light_pos),
+            f(scene.light_intensity),
+            c1(scene.light_prim),
+        ],
+        axis=1,
+    )
+    return PackedTables(prim=prim, mat=mat, tex=tex, light=light)
+
+
+class PrimRows(NamedTuple):
+    """Column views over gathered primitive rows (B, 32)."""
+
+    rows: jnp.ndarray
+
+    @property
+    def ptype(self):
+        return self.rows[..., 0].astype(jnp.int32)
+
+    @property
+    def a(self):
+        return self.rows[..., 1:4]
+
+    @property
+    def b(self):
+        return self.rows[..., 4:7]
+
+    @property
+    def c(self):
+        return self.rows[..., 7:10]
+
+    @property
+    def n0(self):
+        return self.rows[..., 10:13]
+
+    @property
+    def n1(self):
+        return self.rows[..., 13:16]
+
+    @property
+    def n2(self):
+        return self.rows[..., 16:19]
+
+    @property
+    def uv0(self):
+        return self.rows[..., 19:21]
+
+    @property
+    def uv1(self):
+        return self.rows[..., 21:23]
+
+    @property
+    def uv2(self):
+        return self.rows[..., 23:25]
+
+    @property
+    def material(self):
+        return self.rows[..., 25].astype(jnp.int32)
+
+    @property
+    def light(self):
+        return self.rows[..., 26].astype(jnp.int32)
+
+    @property
+    def area(self):
+        return self.rows[..., 27]
+
+
+class MatRows(NamedTuple):
+    rows: jnp.ndarray  # (B, 12)
+
+    @property
+    def mtype(self):
+        return self.rows[..., 0].astype(jnp.int32)
+
+    @property
+    def color(self):
+        return self.rows[..., 1:4]
+
+    @property
+    def tex(self):
+        return self.rows[..., 4].astype(jnp.int32)
+
+    @property
+    def eta(self):
+        return self.rows[..., 5:8]
+
+    @property
+    def k(self):
+        return self.rows[..., 8:11]
+
+
+class TexRows(NamedTuple):
+    rows: jnp.ndarray  # (B, 12)
+
+    @property
+    def ttype(self):
+        return self.rows[..., 0].astype(jnp.int32)
+
+    @property
+    def c0(self):
+        return self.rows[..., 1:4]
+
+    @property
+    def c1(self):
+        return self.rows[..., 4:7]
+
+    @property
+    def scale(self):
+        return self.rows[..., 7]
+
+    @property
+    def line(self):
+        return self.rows[..., 8]
+
+    @property
+    def img_ofs(self):
+        return self.rows[..., 9].astype(jnp.int32)
+
+    @property
+    def img_w(self):
+        return self.rows[..., 10].astype(jnp.int32)
+
+    @property
+    def img_h(self):
+        return self.rows[..., 11].astype(jnp.int32)
+
+
+class LightRows(NamedTuple):
+    rows: jnp.ndarray  # (B, 8)
+
+    @property
+    def ltype(self):
+        return self.rows[..., 0].astype(jnp.int32)
+
+    @property
+    def pos(self):
+        return self.rows[..., 1:4]
+
+    @property
+    def intensity(self):
+        return self.rows[..., 4:7]
+
+    @property
+    def prim(self):
+        return self.rows[..., 7].astype(jnp.int32)
+
+
+def gather_prim(tables: PackedTables, idx) -> PrimRows:
+    return PrimRows(tables.prim[idx])
+
+
+def gather_mat(tables: PackedTables, idx) -> MatRows:
+    return MatRows(tables.mat[idx])
+
+
+def gather_tex(tables: PackedTables, idx) -> TexRows:
+    return TexRows(tables.tex[idx])
+
+
+def gather_light(tables: PackedTables, idx) -> LightRows:
+    return LightRows(tables.light[idx])

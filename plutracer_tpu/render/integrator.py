@@ -21,20 +21,27 @@ Execution shape: `lax.scan` over megabatches with an alive mask; discrete
 material/light choices are masked selects. Each bounce issues ONE batched
 closest-hit query over 3B rays (shadow + NEE-BSDF + extension, all
 originating at the shading point); the extension hit is carried into the
-next iteration, so the per-bounce kernel count stays flat. RNG is
-counter-based: one key per batch, folded with the bounce index.
+next iteration. All entity lookups go through packed-row gathers
+(ops.tables) — one gather per table per bounce instead of one per field,
+which profiling showed dominated TPU time. RNG is counter-based: one key
+per batch, folded with the bounce index.
 """
 
 from __future__ import annotations
-
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from plutracer_tpu.ops import bsdf as bsdf_ops
 from plutracer_tpu.ops import intersect, lights
-from plutracer_tpu.ops.texture import eval_color
+from plutracer_tpu.ops.tables import (
+    gather_light,
+    gather_mat,
+    gather_prim,
+    gather_tex,
+    pack_tables,
+)
+from plutracer_tpu.ops.texture import eval_color_rows
 from plutracer_tpu.semantics import DEFAULT_OPTIONS, RenderOptions
 
 
@@ -47,8 +54,8 @@ def _safe_div(a, b):
 
 
 def _nee_contributions(
-    scene, hit, frame, mtype, albedo, wwo, li, u, options, ls, bs,
-    shadow_found, shadow_prim, nee_found, nee_prim, nee_norm,
+    hit, frame, mtype, albedo, wwo, options, ls, bs, lrows, carrier,
+    shadow_found, shadow_hits_light, nee_found, nee_hits_light, nee_norm,
 ):
     """Assemble estimate_direct_light (renderer.cpp:5-51) once visibility
     results for the shadow ray and the BSDF-strategy ray are known."""
@@ -57,8 +64,7 @@ def _nee_contributions(
 
     # ---- light-sampling strategy ----
     f = bsdf_ops.bsdf_F_nee(mtype, albedo, n, wwo, ls.wi)
-    hits_light = shadow_found & (scene.prim_light[shadow_prim] == li)
-    unoccl = ~shadow_found | (~ls.is_delta & hits_light)
+    unoccl = ~shadow_found | (~ls.is_delta & shadow_hits_light)
     b_pdf = bsdf_ops.bsdf_pdf_nee(frame, mtype, wwo, ls.wi)
     if options.swapped_light_mis_weight:
         w = _safe_div(b_pdf * b_pdf, b_pdf * b_pdf + ls.pdf * ls.pdf)
@@ -81,7 +87,7 @@ def _nee_contributions(
     contrib_l = jnp.where(gate_l[..., None], contrib_l, 0.0)
 
     # ---- BSDF-sampling strategy (non-delta lights only) ----
-    l_pdf2 = lights.light_pdf(scene, li, p, bs.wwi, options)
+    l_pdf2 = lights.light_pdf_rows(lrows, carrier, p, bs.wwi, options)
     w2 = _safe_div(bs.pdf * bs.pdf, bs.pdf * bs.pdf + l_pdf2 * l_pdf2)
     w2 = jnp.where(bs.is_specular, 1.0, w2)
     if options.shading_normal_le_gate:
@@ -90,12 +96,8 @@ def _nee_contributions(
         le_gate = _dot(n, -bs.wwi) > 0.0
     else:
         le_gate = _dot(nee_norm, -bs.wwi) > 0.0
-    same_light = nee_found & (scene.prim_light[nee_prim] == li)
-    Li2 = jnp.where(
-        (same_light & le_gate)[..., None],
-        scene.light_intensity[jnp.maximum(li, 0)],
-        0.0,
-    )
+    same_light = nee_found & nee_hits_light
+    Li2 = jnp.where((same_light & le_gate)[..., None], lrows.intensity, 0.0)
     gate_b = (
         ~ls.is_delta
         & (_dot(bs.f, bs.f) > 0.0)
@@ -118,23 +120,29 @@ def _nee_contributions(
 def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
     """Standalone estimate_direct_light (kept for tests/tools; ray_color
     uses the batched-query path below). `u`: (B, 8) uniforms."""
-    ls = lights.sample_light(scene, li, hit.p, u[:, 0:2], u[:, 2], u[:, 3], options)
+    tables = pack_tables(scene)
+    lrows = gather_light(tables, li)
+    carrier = gather_prim(tables, jnp.maximum(lrows.prim, 0))
+    ls = lights.sample_light_rows(
+        lrows, carrier, hit.p, u[:, 0:2], u[:, 2], u[:, 3], options
+    )
+    mat = gather_prim(tables, hit.prim).material
+    mrows = gather_mat(tables, mat)
     bs = bsdf_ops.bsdf_sample(
-        frame, mtype, albedo,
-        scene.mat_eta[scene.prim_material[hit.prim]],
-        scene.mat_k[scene.prim_material[hit.prim]],
+        frame, mtype, albedo, mrows.eta, mrows.k,
         wwo, u[:, 4], u[:, 5:7], non_specular_only=True,
     )
     sf, sp, _ = intersect.query_lite(scene, hit.p, ls.wi, options)
+    nf, npr, nt = intersect.query_lite(scene, hit.p, bs.wwi, options)
+    s_hits = gather_prim(tables, sp).light == li
+    n_hits = gather_prim(tables, npr).light == li
     if options.shading_normal_le_gate:
-        nf, npr, _ = intersect.query_lite(scene, hit.p, bs.wwi, options)
         nn = hit.norm
     else:
-        h3 = intersect.query_closest(scene, hit.p, bs.wwi, options)
-        nf, npr, nn = h3.found, h3.prim, h3.norm
+        nn = intersect.hit_detail(scene, hit.p, bs.wwi, nt, npr, nf).norm
     return _nee_contributions(
-        scene, hit, frame, mtype, albedo, wwo, li, u, options, ls, bs,
-        sf, sp, nf, npr, nn,
+        hit, frame, mtype, albedo, wwo, options, ls, bs, lrows, carrier,
+        sf, s_hits, nf, n_hits, nn,
     )
 
 
@@ -148,66 +156,78 @@ def ray_color(
     """Radiance for a batch of primary rays. o, d: (B,3). Returns (B,3)."""
     B = o.shape[0]
     num_lights = scene.light_type.shape[0]
+    tables = pack_tables(scene)
+    has_images = scene.atlas.shape[0] > 1
+    diff_t = intersect._resolve_backend(options) != "xla"
 
     # primary hit (reference traces it before entering the bounce loop,
     # renderer.cpp:61); subsequent hits ride the batched per-bounce query
     found0, prim0, t0 = intersect.query_lite(scene, o, d, options)
-    if intersect._resolve_backend(options) != "xla":
-        t0 = jnp.where(found0, intersect.intersect_prim_t(scene, prim0, o, d), t0)
+    if diff_t:
+        rows0 = gather_prim(tables, prim0)
+        t0 = jnp.where(found0, intersect.prim_t_rows(o, d, rows0), t0)
 
     def body(carry, i):
         o, d, T, L, prev_spec, alive, found, prim, t = carry
         k = jax.random.fold_in(key, i)
         u = jax.random.uniform(k, (B, 12))
 
-        hit = intersect.hit_detail(scene, o, d, t, prim, found)
+        rows = gather_prim(tables, prim)
+        hit = intersect.hit_detail_rows(o, d, t, prim, found, rows)
         cur = alive & hit.found
         wwo = -d
-        mat = scene.prim_material[hit.prim]
-        mtype = scene.mat_type[mat]
-        albedo = eval_color(scene, mat, hit.uv)
+        mrows = gather_mat(tables, rows.material)
+        mtype = mrows.mtype
+        trows = gather_tex(tables, jnp.maximum(mrows.tex, 0))
+        albedo = eval_color_rows(scene.atlas, mrows, trows, hit.uv, has_images)
         frame = bsdf_ops.make_frame(hit.norm, hit.dpdu)
 
         # emitted light at the vertex (first or post-specular only)
         emit_gate = (i == 0) | prev_spec
-        Le = lights.emitted(scene, hit.prim, hit.norm, wwo)
+        own_light = gather_light(tables, jnp.maximum(rows.light, 0))
+        Le = lights.emitted_rows(rows, own_light, hit.norm, wwo)
         L = L + jnp.where((cur & emit_gate)[..., None], T * Le, 0.0)
 
         # next-event estimation: pick one light uniformly
         li = jnp.minimum(
             jnp.floor(u[:, 0] * num_lights).astype(jnp.int32), num_lights - 1
         )
-        ls = lights.sample_light(
-            scene, li, hit.p, u[:, 1:3], u[:, 3], u[:, 4], options
+        lrows = gather_light(tables, li)
+        carrier = gather_prim(tables, jnp.maximum(lrows.prim, 0))
+        ls = lights.sample_light_rows(
+            lrows, carrier, hit.p, u[:, 1:3], u[:, 3], u[:, 4], options
         )
-        eta3 = scene.mat_eta[mat]
-        k3 = scene.mat_k[mat]
         bs_nee = bsdf_ops.bsdf_sample(
-            frame, mtype, albedo, eta3, k3, wwo, u[:, 5], u[:, 6:8],
+            frame, mtype, albedo, mrows.eta, mrows.k, wwo, u[:, 5], u[:, 6:8],
             non_specular_only=True,
         )
         # main BSDF sample for the path extension
         bs = bsdf_ops.bsdf_sample(
-            frame, mtype, albedo, eta3, k3, wwo, u[:, 9], u[:, 10:12]
+            frame, mtype, albedo, mrows.eta, mrows.k, wwo, u[:, 9], u[:, 10:12]
         )
 
         # ONE batched closest-hit query: [shadow | nee-bsdf | extension]
         O3 = jnp.concatenate([hit.p, hit.p, hit.p], 0)
         D3 = jnp.concatenate([ls.wi, bs_nee.wwi, bs.wwi], 0)
         f3, p3, t3 = intersect.query_lite(scene, O3, D3, options)
+        # one column gather for the hit prims' light links (shadow + nee)
+        plight3 = tables.prim[p3[: 2 * B], 26].astype(jnp.int32)
         sf, nf, xf = f3[:B], f3[B : 2 * B], f3[2 * B :]
-        sp, npr, xp = p3[:B], p3[B : 2 * B], p3[2 * B :]
+        xp = p3[2 * B :]
         xt = t3[2 * B :]
+        s_hits = plight3[:B] == li
+        n_hits = plight3[B:] == li
 
         if options.shading_normal_le_gate:
             nee_norm = hit.norm  # unused in this mode
         else:
-            nee_norm = intersect.hit_detail(
-                scene, hit.p, bs_nee.wwi, t3[B : 2 * B], npr, nf
+            nrows = gather_prim(tables, p3[B : 2 * B])
+            nee_norm = intersect.hit_detail_rows(
+                hit.p, bs_nee.wwi, t3[B : 2 * B], p3[B : 2 * B], nf, nrows
             ).norm
         Ld = _nee_contributions(
-            scene, hit, frame, mtype, albedo, wwo, li, u, options, ls, bs_nee,
-            sf, sp, nf, npr, nee_norm,
+            hit, frame, mtype, albedo, wwo, options, ls, bs_nee, lrows, carrier,
+            sf, s_hits, nf, n_hits, nee_norm,
         )
         L = L + jnp.where(cur[..., None], T * Ld * num_lights, 0.0)
 
@@ -220,9 +240,9 @@ def ray_color(
         T = jnp.where(alive_next[..., None], T_next, T)
 
         # differentiable t recompute for non-AD backends (see query_closest)
-        if intersect._resolve_backend(options) != "xla":
-            xt_diff = intersect.intersect_prim_t(scene, xp, hit.p, bs.wwi)
-            xt = jnp.where(xf, xt_diff, xt)
+        if diff_t:
+            xrows = gather_prim(tables, xp)
+            xt = jnp.where(xf, intersect.prim_t_rows(hit.p, bs.wwi, xrows), xt)
         return (hit.p, bs.wwi, T, L, bs.is_specular, alive_next, xf, xp, xt), None
 
     # derive carry inits from the (possibly shard_map-varying) ray inputs so
