@@ -253,18 +253,20 @@ def _box_detail(p, bmin, bmax):
     mci = jnp.argmin(dist, axis=-1)
     sign = jnp.sign(np_)
     sign = jnp.where(sign == 0.0, 1.0, sign)
-    norm = jax.nn.one_hot(mci, 3, dtype=p.dtype) * jnp.take_along_axis(
-        sign, mci[..., None], axis=-1
-    )
-    idx_u = jnp.array([0, 0, 1], jnp.int32)[mci]
-    idx_v = jnp.array([1, 2, 0], jnp.int32)[mci]
-    uv = jnp.stack(
-        [
-            jnp.take_along_axis(p, idx_u[..., None], axis=-1)[..., 0],
-            jnp.take_along_axis(p, idx_v[..., None], axis=-1)[..., 0],
-        ],
-        -1,
-    )
+
+    # tiny-axis dynamic indexing as arithmetic selects: take_along_axis on a
+    # width-3 axis lowers to a gather costing ~3.7 ms/call at B=262k on TPU
+    # (profiler-verified); these selects fuse into neighbors for free
+    def pick3(v, idx):
+        return jnp.where(
+            idx == 0, v[..., 0], jnp.where(idx == 1, v[..., 1], v[..., 2])
+        )
+
+    norm = jax.nn.one_hot(mci, 3, dtype=p.dtype) * pick3(sign, mci)[..., None]
+    # uv/dpdu index maps: mci=0 -> (0,1); 1 -> (0,2); 2 -> (1,0)
+    idx_u = jnp.where(mci == 2, 1, 0)
+    idx_v = jnp.where(mci == 0, 1, jnp.where(mci == 1, 2, 0))
+    uv = jnp.stack([pick3(p, idx_u), pick3(p, idx_v)], -1)
     dpdu = jax.nn.one_hot(idx_u, 3, dtype=p.dtype)
     return norm, uv, dpdu
 

@@ -69,10 +69,12 @@ def sample_surface_rows(rows: PrimRows, u2, u_face, u_axis):
     ns_s = uniform_sphere_sample(u2)
     ps_s = a + ns_s * b[..., 0:1]
 
-    # box
+    # box (width-3 dynamic index as selects; see intersect._box_detail note)
     U = jnp.stack([u2[..., 0], u_face, u2[..., 1]], -1)
     mi = jnp.minimum((u_axis * 3.0).astype(jnp.int32), 2)
-    picked = jnp.take_along_axis(U, mi[..., None], axis=-1)[..., 0]
+    picked = jnp.where(
+        mi == 0, U[..., 0], jnp.where(mi == 1, U[..., 1], U[..., 2])
+    )
     snapped = jnp.where(picked > 0.5, 1.0, 0.0)
     onehot = jax.nn.one_hot(mi, 3, dtype=U.dtype)
     U = U * (1.0 - onehot) + snapped[..., None] * onehot
