@@ -35,8 +35,11 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     # warmup/compile; a scalar readback is the only honest sync point
-    # through the remote-device relay (block_until_ready returns early)
-    float(render_pass(scene, key, jnp.int32(0), w, h, n).sum())
+    # through the remote-device relay (block_until_ready returns early).
+    # Several warmup passes: the first post-compile executions still pay
+    # one-time costs (device cache warm, relay buffers)
+    for wpass in range(3):
+        float(render_pass(scene, jax.random.fold_in(key, 100 + wpass), jnp.int32(0), w, h, n).sum())
 
     passes = 8
     t0 = time.perf_counter()
