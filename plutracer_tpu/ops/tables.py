@@ -25,7 +25,61 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+# Row-gather strategy thresholds. TPU gathers from tiny tables lower to
+# VMEM-read-bound scalar loops (profiler: 3-6 ms per gather at B=786k from
+# an 8-row table — 1/3 of total render time); a select chain or a one-hot
+# matmul computes the same rows 3-6x faster and fuses into neighbors.
+_SELECT_MAX = 16  # unrolled where-chain (VPU, fuses into consumers)
+_ONEHOT_MAX = 512  # one-hot matmul on the MXU (HIGHEST = exact for f32)
+
+
+def _rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] with gather-free lowerings for small tables.
+
+    Matches XLA gather semantics (out-of-range indices clamp). All variants
+    are bit-exact and differentiable w.r.t. `table` (the where/matmul vjps
+    are the scatter-add the gather would have produced).
+    """
+    P = table.shape[0]
+    idx = jnp.clip(idx, 0, P - 1)
+    if P <= _SELECT_MAX:
+        out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+        for p in range(1, P):
+            out = jnp.where((idx == p)[..., None], table[p], out)
+        return out
+    if P <= _ONEHOT_MAX:
+        oh = (idx[..., None] == jnp.arange(P, dtype=idx.dtype)).astype(table.dtype)
+        return jax.lax.dot_general(
+            oh,
+            table,
+            (((oh.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return table[idx]
+
+
+def _col(table: jnp.ndarray, idx: jnp.ndarray, col: int) -> jnp.ndarray:
+    """table[idx, col] as a select chain (single-column variant of _rows)."""
+    P = table.shape[0]
+    idx = jnp.clip(idx, 0, P - 1)
+    c = table[:, col]
+    if P <= _SELECT_MAX:
+        out = jnp.full(idx.shape, c[0], table.dtype)
+        for p in range(1, P):
+            out = jnp.where(idx == p, c[p], out)
+        return out
+    if P <= _ONEHOT_MAX:
+        oh = (idx[..., None] == jnp.arange(P, dtype=idx.dtype)).astype(table.dtype)
+        return jax.lax.dot_general(
+            oh,
+            c,
+            (((oh.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return c[idx]
 
 
 class PackedTables(NamedTuple):
@@ -235,16 +289,22 @@ class LightRows(NamedTuple):
 
 
 def gather_prim(tables: PackedTables, idx) -> PrimRows:
-    return PrimRows(tables.prim[idx])
+    return PrimRows(_rows(tables.prim, idx))
 
 
 def gather_mat(tables: PackedTables, idx) -> MatRows:
-    return MatRows(tables.mat[idx])
+    return MatRows(_rows(tables.mat, idx))
 
 
 def gather_tex(tables: PackedTables, idx) -> TexRows:
-    return TexRows(tables.tex[idx])
+    return TexRows(_rows(tables.tex, idx))
 
 
 def gather_light(tables: PackedTables, idx) -> LightRows:
-    return LightRows(tables.light[idx])
+    return LightRows(_rows(tables.light, idx))
+
+
+def gather_prim_light(tables: PackedTables, idx) -> jnp.ndarray:
+    """prim[idx].light without materializing full rows (hot in NEE
+    visibility resolution, where only the light link is consulted)."""
+    return _col(tables.prim, idx, 26).astype(jnp.int32)

@@ -38,6 +38,7 @@ from plutracer_tpu.ops.tables import (
     gather_light,
     gather_mat,
     gather_prim,
+    gather_prim_light,
     gather_tex,
     pack_tables,
 )
@@ -210,8 +211,8 @@ def ray_color(
         O3 = jnp.concatenate([hit.p, hit.p, hit.p], 0)
         D3 = jnp.concatenate([ls.wi, bs_nee.wwi, bs.wwi], 0)
         f3, p3, t3 = intersect.query_lite(scene, O3, D3, options)
-        # one column gather for the hit prims' light links (shadow + nee)
-        plight3 = tables.prim[p3[: 2 * B], 26].astype(jnp.int32)
+        # one column lookup for the hit prims' light links (shadow + nee)
+        plight3 = gather_prim_light(tables, p3[: 2 * B])
         sf, nf, xf = f3[:B], f3[B : 2 * B], f3[2 * B :]
         xp = p3[2 * B :]
         xt = t3[2 * B :]
