@@ -23,11 +23,16 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from plutracer_tpu.render.renderer import render_pass
+    import plutracer_tpu
+
+    plutracer_tpu.enable_compilation_cache()
+
+    from plutracer_tpu.render.renderer import render_passes, zeros_accum
     from plutracer_tpu.scene import compile_scene, load_scene_file
 
     w = h = 512
     n = 4  # strata grid per timed pass; throughput is per-sample so any n works
+    chunk = 8  # strata per dispatch
     desc = load_scene_file(
         "/root/reference/scenes/cornell-box.urn", ["/res", f"{w}x{h}"]
     )
@@ -38,15 +43,21 @@ def main() -> None:
     # through the remote-device relay (block_until_ready returns early).
     # Several warmup passes: the first post-compile executions still pay
     # one-time costs (device cache warm, relay buffers)
-    for wpass in range(3):
-        float(render_pass(scene, jax.random.fold_in(key, 100 + wpass), jnp.int32(0), w, h, n).sum())
+    acc = zeros_accum(w, h)
+    for wpass in range(2):
+        acc = render_passes(
+            scene, jax.random.fold_in(key, 100 + wpass), jnp.int32(0), w, h, n,
+            chunk, accum=acc,
+        )
+    float(acc.sum())
 
-    passes = 8
+    passes = 16
     t0 = time.perf_counter()
-    acc = None
-    for s in range(passes):
-        out = render_pass(scene, jax.random.fold_in(key, s), jnp.int32(s), w, h, n)
-        acc = out if acc is None else acc + out
+    acc = zeros_accum(w, h)
+    for s in range(0, passes, chunk):
+        acc = render_passes(
+            scene, key, jnp.int32(s), w, h, n, chunk, accum=acc
+        )
     float(acc.sum())
     dt = time.perf_counter() - t0
 

@@ -61,6 +61,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     scn_path = args.pop(0)
     print(f"loading scene {scn_path}")
 
+    import plutracer_tpu
+
+    plutracer_tpu.enable_compilation_cache()
+
     # --- init phase: parse + compile scene ---
     init_start = time.perf_counter()
     from plutracer_tpu.scene import compile_scene, load_scene_file

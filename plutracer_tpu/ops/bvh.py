@@ -102,11 +102,12 @@ def build_bvh(scene_np, use_native: bool = True) -> BvhArrays:
         out = _native.build_bvh_native(prims10)
         if out is not None:
             mn, mx, skip, prim = out
+            # host numpy; compile_scene device_puts the whole scene pytree
             return BvhArrays(
-                node_min=jnp.asarray(mn),
-                node_max=jnp.asarray(mx),
-                node_skip=jnp.asarray(skip),
-                node_prim=jnp.asarray(prim),
+                node_min=np.asarray(mn, np.float32),
+                node_max=np.asarray(mx, np.float32),
+                node_skip=np.asarray(skip, np.int32),
+                node_prim=np.asarray(prim, np.int32),
             )
 
     ptype = np.asarray(scene_np.prim_type)
@@ -199,10 +200,10 @@ def build_bvh(scene_np, use_native: bool = True) -> BvhArrays:
         sys.setrecursionlimit(old_limit)
 
     return BvhArrays(
-        node_min=jnp.asarray(dfs_min),
-        node_max=jnp.asarray(dfs_max),
-        node_skip=jnp.asarray(dfs_skip),
-        node_prim=jnp.asarray(dfs_prim),
+        node_min=dfs_min,
+        node_max=dfs_max,
+        node_skip=dfs_skip,
+        node_prim=dfs_prim,
     )
 
 

@@ -148,18 +148,25 @@ def _pallas_closest(prims_packed, ox, oy, oz, dx, dy, dz, interpret=False):
     return t, p
 
 
-def pack_prims(scene) -> jnp.ndarray:
+def pack_prims_np(scene) -> np.ndarray:
     """(P_pad, 16) f32 primitive table; padding rows are degenerate
-    triangles (type 2, all-zero vertices) that can never hit."""
+    triangles (type 2, all-zero vertices) that can never hit. Pure numpy —
+    runs at scene-compile time with zero device round-trips."""
     P = scene.prim_type.shape[0]
     P_pad = -(-P // PRIM_TILE) * PRIM_TILE
-    rows = jnp.zeros((P_pad, 16), jnp.float32)
-    rows = rows.at[:, 0].set(2.0)  # default: degenerate triangle
-    rows = rows.at[:P, 0].set(scene.prim_type.astype(jnp.float32))
-    rows = rows.at[:P, 1:4].set(scene.prim_a)
-    rows = rows.at[:P, 4:7].set(scene.prim_b)
-    rows = rows.at[:P, 7:10].set(scene.prim_c)
+    rows = np.zeros((P_pad, 16), np.float32)
+    rows[:, 0] = 2.0  # default: degenerate triangle
+    rows[:P, 0] = np.asarray(scene.prim_type, np.float32)
+    rows[:P, 1:4] = np.asarray(scene.prim_a, np.float32)
+    rows[:P, 4:7] = np.asarray(scene.prim_b, np.float32)
+    rows[:P, 7:10] = np.asarray(scene.prim_c, np.float32)
     return rows
+
+
+def pack_prims(scene) -> jnp.ndarray:
+    """Device-array variant of pack_prims_np (np.asarray pulls device
+    leaves to host; callers outside compile_scene are tests/tools)."""
+    return jnp.asarray(pack_prims_np(scene))
 
 
 def intersect_lite_pallas(scene, o, d, prims_packed=None, interpret=False):

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from plutracer_tpu.render.renderer import render_pass
+from plutracer_tpu.render.renderer import PASS_CHUNK, _finalize, render_passes
 from plutracer_tpu.semantics import DEFAULT_OPTIONS, RenderOptions
 
 
@@ -42,9 +42,11 @@ def render_with_checkpoint(
 ):
     """Render n^2 stratified passes; optionally resume from / write to a
     checkpoint file. Returns the linear (H, W, 3) image."""
+    from plutracer_tpu.render.renderer import zeros_accum
+
     spp = n * n
     key = jax.random.PRNGKey(seed)
-    accum = jnp.zeros((height * width, 3))
+    accum = zeros_accum(width, height)
     start = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
         accum, start, ck_seed = load_state(checkpoint_path)
@@ -53,12 +55,22 @@ def render_with_checkpoint(
                 f"checkpoint seed {ck_seed} != requested seed {seed}"
             )
         print(f"resuming at pass {start}/{spp}")
-    for s in range(start, spp):
-        k = jax.random.fold_in(key, s)
-        accum = accum + render_pass(
-            scene, k, jnp.int32(s), width, height, n, options
+    # strata are dispatched in chunks (one lax.scan per device program, see
+    # renderer.render_passes) — bit-identical to per-pass dispatch but ~10x
+    # less host/relay overhead on small renders. Checkpoints land on chunk
+    # boundaries, aligned to checkpoint_every when checkpointing is on.
+    chunk = min(PASS_CHUNK, checkpoint_every) if checkpoint_path else PASS_CHUNK
+    s = start
+    while s < spp:
+        k = min(chunk, spp - s)
+        if checkpoint_path:
+            # align to the next checkpoint_every boundary for exact resume
+            k = min(k, checkpoint_every - s % checkpoint_every)
+        accum = render_passes(
+            scene, key, jnp.int32(s), width, height, n, k, options, accum=accum
         )
-        if checkpoint_path and ((s + 1) % checkpoint_every == 0 or s + 1 == spp):
+        s += k
+        if checkpoint_path and (s % checkpoint_every == 0 or s == spp):
             accum.block_until_ready()
-            save_state(checkpoint_path, accum, s + 1, seed)
-    return (accum / spp).reshape(height, width, 3)
+            save_state(checkpoint_path, accum, s, seed)
+    return _finalize(accum, jnp.float32(spp), width, height)

@@ -30,6 +30,20 @@ def pixel_centers(width: int, height: int):
     return jnp.stack([gx.ravel(), gy.ravel()], -1)
 
 
+def _trace_stratum(scene, px0, key, stratum, n: int, options: RenderOptions):
+    """One stratified sample per pixel from the given stratum cell."""
+    B = px0.shape[0]
+    k_px, k_lens, k_path = jax.random.split(key, 3)
+    # jittered stratified offsets: (cell + u*0.999)/n  (inc/sampler.h:44-50)
+    cell = jnp.stack([stratum % n, stratum // n], -1).astype(jnp.float32)
+    jit_px = jax.random.uniform(k_px, (B, 2)) * 0.999
+    jit_lens = jax.random.uniform(k_lens, (B, 2)) * 0.999
+    px = px0 + (cell + jit_px) / n
+    lens = (cell + jit_lens) / n
+    o, d = generate_rays(scene.camera, px, lens)
+    return ray_color(scene, o, d, k_path, options)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "n", "options"))
 def render_pass(
     scene,
@@ -43,16 +57,59 @@ def render_pass(
     """One stratified pass: every pixel gets one sample from the given
     stratum cell. Returns (H*W, 3) radiance."""
     px0 = pixel_centers(width, height)
-    B = px0.shape[0]
-    k_px, k_lens, k_path = jax.random.split(key, 3)
-    # jittered stratified offsets: (cell + u*0.999)/n  (inc/sampler.h:44-50)
-    cell = jnp.stack([stratum % n, stratum // n], -1).astype(jnp.float32)
-    jit_px = jax.random.uniform(k_px, (B, 2)) * 0.999
-    jit_lens = jax.random.uniform(k_lens, (B, 2)) * 0.999
-    px = px0 + (cell + jit_px) / n
-    lens = (cell + jit_lens) / n
-    o, d = generate_rays(scene.camera, px, lens)
-    return ray_color(scene, o, d, k_path, options)
+    return _trace_stratum(scene, px0, key, stratum, n, options)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def zeros_accum(width: int, height: int):
+    """Device-side (H*W, 3) zero accumulator (no host transfer)."""
+    return jnp.zeros((height * width, 3))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "n", "k_passes", "options")
+)
+def render_passes(
+    scene,
+    key,
+    start: jnp.ndarray,
+    width: int,
+    height: int,
+    n: int,
+    k_passes: int,
+    options: RenderOptions = DEFAULT_OPTIONS,
+    accum: Optional[jnp.ndarray] = None,
+):
+    """k_passes stratified passes (strata start..start+k) accumulated into
+    `accum` in ONE device dispatch via lax.scan. Bit-identical to summing
+    render_pass over the same strata (same fold_in(key, s) per pass), but
+    amortizes the per-dispatch overhead that dominated small renders (the
+    reference, by contrast, has no dispatch at all — renderer.cpp:98-151
+    streams tiles). Threading `accum` through the jit keeps a multi-chunk
+    render free of eager device ops; with accum=None a fresh sum is
+    returned (a second compiled variant — avoid in hot paths)."""
+    px0 = pixel_centers(width, height)
+
+    def body(acc, s):
+        k = jax.random.fold_in(key, s)
+        return acc + _trace_stratum(scene, px0, k, s, n, options), None
+
+    acc0 = jnp.zeros((height * width, 3)) if accum is None else accum
+    acc, _ = jax.lax.scan(body, acc0, start + jnp.arange(k_passes))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _finalize(accum, spp, width: int, height: int):
+    # divide (not multiply-by-reciprocal): bit-identical to the historical
+    # accum / spp average
+    return (accum / spp).reshape(height, width, 3)
+
+
+# strata per device dispatch: large enough to amortize the ~100-200ms
+# dispatch/relay overhead, small enough to keep checkpoint granularity and
+# at most two compiled program shapes (chunk + remainder) per config
+PASS_CHUNK = 16
 
 
 def render(
@@ -72,13 +129,15 @@ def render(
     """
     spp = n * n
     if accum is None:
-        accum = jnp.zeros((height * width, 3))
-    for s in range(start_pass, spp):
-        k = jax.random.fold_in(key, s)
-        accum = accum + render_pass(
-            scene, k, jnp.int32(s), width, height, n, options
+        accum = zeros_accum(width, height)
+    s = start_pass
+    while s < spp:
+        k = min(PASS_CHUNK, spp - s)
+        accum = render_passes(
+            scene, key, jnp.int32(s), width, height, n, k, options, accum=accum
         )
-    return (accum / spp).reshape(height, width, 3)
+        s += k
+    return _finalize(accum, jnp.float32(spp), width, height)
 
 
 def render_image(

@@ -43,16 +43,16 @@ def build_camera(
     up = np.cross(look, right)
     up = 1.5 * up / np.linalg.norm(up)
     return CameraParams(
-        pos=jnp.asarray(pos, jnp.float32),
-        look=jnp.asarray(look, jnp.float32),
-        right=jnp.asarray(right, jnp.float32),
-        up=jnp.asarray(up, jnp.float32),
-        inv_image_size=jnp.asarray(
-            [1.0 / resolution[0], 1.0 / resolution[1]], jnp.float32
+        pos=np.asarray(pos, np.float32),
+        look=np.asarray(look, np.float32),
+        right=np.asarray(right, np.float32),
+        up=np.asarray(up, np.float32),
+        inv_image_size=np.asarray(
+            [1.0 / resolution[0], 1.0 / resolution[1]], np.float32
         ),
-        w=jnp.float32(w),
-        lens_radius=jnp.float32(lens_radius),
-        focal_distance=jnp.float32(focal_distance),
+        w=np.float32(w),
+        lens_radius=np.float32(lens_radius),
+        focal_distance=np.float32(focal_distance),
     )
 
 
@@ -143,7 +143,11 @@ def compile_scene(
         desc.focal_distance,
     )
 
-    dev = jnp.asarray
+    # assemble the whole scene in host numpy; ONE device_put at the end.
+    # (Per-leaf jnp.asarray / eager .at[].set ops each cost a compile or
+    # transfer RPC through the device relay — observed at seconds each on a
+    # slow tunnel, minutes total for a scene.)
+    dev = lambda x: x
     scene = SceneArrays(
         prim_type=dev(prim_type),
         prim_a=dev(prim_a),
@@ -182,9 +186,11 @@ def compile_scene(
         import dataclasses as _dc
 
         from plutracer_tpu.ops.bvh import build_bvh
-        from plutracer_tpu.ops.pallas.intersect_kernel import pack_prims
+        from plutracer_tpu.ops.pallas.intersect_kernel import pack_prims_np
 
         scene = _dc.replace(
-            scene, bvh=build_bvh(scene), prims_packed=pack_prims(scene)
+            scene, bvh=build_bvh(scene), prims_packed=pack_prims_np(scene)
         )
-    return scene
+    import jax
+
+    return jax.device_put(scene)
