@@ -1,14 +1,21 @@
-"""Benchmark: cornell-box 512x512 render throughput on the attached device.
+"""Benchmark matrix: render throughput on the attached device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per config; the LAST line is the headline metric
+(cornell-box 512x512) in the driver schema:
+    {"metric", "value", "unit", "vs_baseline"}
 
-Metric: pixel samples per second (W*H*spp / steady-state render time).
+Metric: pixel samples per second (W*H*passes / steady-state render time).
 Each sample is a full path: up to 8 shading vertices with NEE, i.e. up to
-25 scene-intersection queries per sample.
+25 scene-intersection queries per sample (RenderStats.rays_per_sec_upper).
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is
-measured against this repo's own recorded first-round value in
-BASELINE_SELF.json (created on first run).
+measured against this repo's own recorded first value per config in
+BASELINE_SELF.json (extended on first run of each config).
+
+Configs follow BASELINE.md: cornell 512^2 (headline), glass0 + refrac0
+256^2 (dielectric/branching-BSDF stress), room 512^2 (textures + multiple
+lights), test1 (259 prims via urn evaluation — exercises the one-hot
+gather tier), mesh0 (triangle mesh, if scenes/mesh0.urn exists).
 """
 
 from __future__ import annotations
@@ -18,69 +25,81 @@ import os
 import pathlib
 import time
 
+REPO = pathlib.Path(__file__).parent
+SCN = "/root/reference/scenes"
 
-def main() -> None:
+
+def bench_scene(name, path, w, h, passes=16, chunk=8, n=4):
     import jax
     import jax.numpy as jnp
 
-    import plutracer_tpu
-
-    plutracer_tpu.enable_compilation_cache()
-
     from plutracer_tpu.render.renderer import render_passes, zeros_accum
     from plutracer_tpu.scene import compile_scene, load_scene_file
+    from plutracer_tpu.utils.profiling import RenderStats
 
-    w = h = 512
-    n = 4  # strata grid per timed pass; throughput is per-sample so any n works
-    chunk = 8  # strata per dispatch
-    desc = load_scene_file(
-        "/root/reference/scenes/cornell-box.urn", ["/res", f"{w}x{h}"]
-    )
+    desc = load_scene_file(path, ["/res", f"{w}x{h}"])
     scene = compile_scene(desc)
     key = jax.random.PRNGKey(0)
 
     # warmup/compile; a scalar readback is the only honest sync point
-    # through the remote-device relay (block_until_ready returns early).
-    # Several warmup passes: the first post-compile executions still pay
-    # one-time costs (device cache warm, relay buffers)
+    # through the remote-device relay (block_until_ready returns early)
     acc = zeros_accum(w, h)
     for wpass in range(2):
         acc = render_passes(
-            scene, jax.random.fold_in(key, 100 + wpass), jnp.int32(0), w, h, n,
-            chunk, accum=acc,
+            scene, jax.random.fold_in(key, 100 + wpass), jnp.int32(0),
+            w, h, n, chunk, accum=acc,
         )
     float(acc.sum())
 
-    passes = 16
     t0 = time.perf_counter()
     acc = zeros_accum(w, h)
     for s in range(0, passes, chunk):
-        acc = render_passes(
-            scene, key, jnp.int32(s), w, h, n, chunk, accum=acc
-        )
+        acc = render_passes(scene, key, jnp.int32(s), w, h, n, chunk, accum=acc)
     float(acc.sum())
-    dt = time.perf_counter() - t0
+    stats = RenderStats(w, h, passes, time.perf_counter() - t0)
+    return stats
 
-    samples = w * h * passes
-    sps = samples / dt
 
-    self_path = pathlib.Path(__file__).parent / "BASELINE_SELF.json"
-    if self_path.exists():
-        base = json.loads(self_path.read_text()).get("samples_per_sec", sps)
-    else:
-        base = sps
-        self_path.write_text(json.dumps({"samples_per_sec": sps, "note": "round-1 self baseline"}))
+def main() -> None:
+    import plutracer_tpu
 
-    print(
-        json.dumps(
-            {
-                "metric": "cornell512_samples_per_sec",
-                "value": round(sps, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(sps / base, 3),
-            }
-        )
-    )
+    plutracer_tpu.enable_compilation_cache()
+
+    self_path = REPO / "BASELINE_SELF.json"
+    base = json.loads(self_path.read_text()) if self_path.exists() else {}
+    if "samples_per_sec" in base:  # legacy round-1 key == cornell512
+        base.setdefault("cornell512_samples_per_sec", base.pop("samples_per_sec"))
+
+    configs = [
+        # (key, scene path, W, H)
+        ("glass0_256", f"{SCN}/glass0.urn", 256, 256),
+        ("refrac0_256", f"{SCN}/refrac0.urn", 256, 256),
+        ("room_512", f"{SCN}/room.urn", 512, 512),
+        ("test1_256", f"{SCN}/test1.urn", 256, 256),
+    ]
+    mesh_scene = REPO / "scenes" / "mesh0.urn"
+    if mesh_scene.exists():
+        configs.append(("mesh0_256", str(mesh_scene), 256, 256))
+    configs.append(("cornell512", f"{SCN}/cornell-box.urn", 512, 512))
+
+    changed = False
+    for key, path, w, h in configs:
+        stats = bench_scene(key, path, w, h)
+        sps = stats.samples_per_sec
+        bkey = f"{key}_samples_per_sec"
+        if bkey not in base:
+            base[bkey] = sps
+            changed = True
+        line = {
+            "metric": bkey,
+            "value": round(sps, 1),
+            "unit": "samples/s",
+            "vs_baseline": round(sps / base[bkey], 3),
+        }
+        print(json.dumps(line), flush=True)
+
+    if changed:
+        self_path.write_text(json.dumps(base, indent=1))
 
 
 if __name__ == "__main__":
