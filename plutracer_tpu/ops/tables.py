@@ -33,15 +33,30 @@ import jax.numpy as jnp
 # an 8-row table — 1/3 of total render time); a select chain or a one-hot
 # matmul computes the same rows 3-6x faster and fuses into neighbors.
 _SELECT_MAX = 16  # unrolled where-chain (VPU, fuses into consumers)
-_ONEHOT_MAX = 512  # one-hot matmul on the MXU (HIGHEST = exact for f32)
+# one-hot matmul on the MXU (HIGHEST = exact for f32). Measured on TPU v5e
+# at B=262144, W=32: one-hot 2.80 ms vs native gather 3.31 ms at P=64..259;
+# parity (3.17 vs 3.26) at P=512 — where the (B, P) one-hot also costs
+# 512 MB of HBM. Threshold set just above the largest bundled scene (test1,
+# 259 prims); beyond it the native gather is as fast and O(B*W) memory.
+_ONEHOT_MAX = 320
 
 
 def _rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table[idx] with gather-free lowerings for small tables.
 
-    Matches XLA gather semantics (out-of-range indices clamp). All variants
-    are bit-exact and differentiable w.r.t. `table` (the where/matmul vjps
-    are the scatter-add the gather would have produced).
+    All variants are bit-exact and differentiable w.r.t. `table` (the
+    where/matmul vjps are the scatter-add the gather would have produced).
+
+    Index semantics: out-of-range indices clamp to [0, P-1] in EVERY tier —
+    including negatives, which clamp to row 0 (NOT Python/jnp wrap-around:
+    table[-1] here is row 0, not row P-1). All call sites pre-clamp
+    sentinel -1 indices with jnp.maximum(idx, 0) anyway; the clamp makes
+    that explicit and uniform across tiers.
+
+    The one-hot tier assumes an all-finite table: 0 * inf = NaN would
+    poison every output lane, not just the lane selecting the bad row
+    (scene tables are validated finite at load time; see
+    scene.compile._assert_finite).
     """
     P = table.shape[0]
     idx = jnp.clip(idx, 0, P - 1)
@@ -62,7 +77,8 @@ def _rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _col(table: jnp.ndarray, idx: jnp.ndarray, col: int) -> jnp.ndarray:
-    """table[idx, col] as a select chain (single-column variant of _rows)."""
+    """table[idx, col] as a select chain (single-column variant of _rows;
+    same index semantics: negatives/overflow clamp to [0, P-1])."""
     P = table.shape[0]
     idx = jnp.clip(idx, 0, P - 1)
     c = table[:, col]

@@ -191,6 +191,23 @@ def compile_scene(
         scene = _dc.replace(
             scene, bvh=build_bvh(scene), prims_packed=pack_prims_np(scene)
         )
+    _assert_finite(scene)
     import jax
 
     return jax.device_put(scene)
+
+
+def _assert_finite(scene) -> None:
+    """Reject non-finite scene data at load time. The packed-table one-hot
+    gather tier (ops/tables._rows) relies on all-finite tables (0 * inf
+    would poison whole batches, not single lanes)."""
+    import dataclasses as _dc
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(scene):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f" and not np.isfinite(arr).all():
+            raise ValueError(
+                "scene contains non-finite values (NaN/Inf); refusing to "
+                "compile — check material/texture/light parameters"
+            )

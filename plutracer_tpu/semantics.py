@@ -43,6 +43,28 @@ correctly-rendered pixel):
   guard the division; pure black maps to pure black;
 - the shared, unlocked global mt19937 (inc/cmmn.h:240): we use counter-based
   jax.random keys, which are race-free and make renders deterministic.
+
+Silent numeric guards (deviations on measure-zero / NaN-only inputs; each
+replaces a reference NaN/Inf with a finite value; full audit):
+- sphere degenerate dpdu (ops/intersect.py:_sphere_detail): when the hit
+  point lies on the world z-axis, the reference's dpdu = 2*pi*(-p.y, p.x, 0)
+  (src/surfaces/sphere.cpp:40) is the zero vector and normalize(dpdu) in the
+  shading frame (inc/material.h:170) is NaN; we substitute cross((0,1,0),
+  normal). Also the polar-UV chain guards sin(phi)==0 (sphere.cpp:33-38
+  divides by it) by pinning theta=0 at the poles.
+- point-light squared-distance clamp (ops/lights.py:sample_light_rows):
+  1/|l-p|^2 (inc/light.h:23-26) is clamped at 1e-20 so a shading point
+  exactly at the light position yields a huge-but-finite intensity instead
+  of Inf (and a NaN wi).
+- box normal at the exact center plane (ops/intersect.py:_box_detail):
+  sign(0) -> +1 where the reference's `np.x < 0 ? -1 : 1` chain
+  (src/surfaces/box.cpp:44-60) also yields +1 — matching, but made explicit
+  because jnp.sign (unlike the C ternary) returns 0 there.
+- division guards via jnp.where(x == 0, 1, x) throughout (_safe_div,
+  box_t's 1e-20 ray-direction epsilon matching the slab test's IEEE-Inf
+  behavior, triangle_t's det==0 reject) — all on paths where the reference
+  relies on IEEE Inf propagating into comparisons that then reject the
+  lane; ours rejects the lane explicitly with a mask instead.
 """
 
 from __future__ import annotations
