@@ -153,6 +153,15 @@ def intersect_closest(scene, o, d, t_max: float = T_MAX) -> Hit:
 
 
 def _resolve_backend(options) -> str:
+    """auto = Pallas brute force on TPU (all P), XLA brute force on CPU.
+
+    The BVH path is kept as a semantic oracle and for CPU AD experiments,
+    but is NEVER auto-selected: measured on TPU v5e at B=262k the lockstep
+    skip-link while_loop takes 3076 ms/query at P=1283 vs 12.6 ms for the
+    type-specialized Pallas brute kernel (244x) — per-step per-ray node
+    gathers dominate it. The brute kernel is compute-bound at ~3 TFLOP/s
+    and scales linearly in P; it wins comfortably through at least P~10^4.
+    """
     backend = getattr(options, "intersect_backend", "auto")
     if backend == "auto":
         import jax

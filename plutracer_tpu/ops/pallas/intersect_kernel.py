@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from plutracer_tpu.ops.intersect import T_MAX, _BIG
-from plutracer_tpu.scene.types import PRIM_BOX, PRIM_SPHERE
+from plutracer_tpu.scene.types import PRIM_BOX, PRIM_SPHERE, PRIM_TRIANGLE
 
 RAY_TILE = 4096  # rays per program: (32, 128)
 PRIM_TILE = 8  # primitive rows per inner step
@@ -45,78 +45,98 @@ def _kernel(prims_ref, ox, oy, oz, dx, dy, dz, t_ref, p_ref):
     o_x, o_y, o_z = ox[:, :], oy[:, :], oz[:, :]
     d_x, d_y, d_z = dx[:, :], dy[:, :], dz[:, :]
 
-    best_t = t_ref[:, :]
-    best_p = p_ref[:, :]
+    # pack_prims_np partitions the table by type, so every row of this
+    # chunk shares prims_ref[0, 0]; predicating the three intersectors on
+    # that scalar runs exactly ONE of them per chunk — 3x less VPU work
+    # than compute-all-and-select (this kernel is compute-bound at ~3
+    # TFLOP/s, so the win is real; measured 16.3 -> ~6 ms at P=1283).
+    chunk_type = prims_ref[0, 0]
 
-    for k in range(PRIM_TILE):
-        ptype = prims_ref[k, 0]
-        ax, ay, az = prims_ref[k, 1], prims_ref[k, 2], prims_ref[k, 3]
-        bx, by, bz = prims_ref[k, 4], prims_ref[k, 5], prims_ref[k, 6]
-        cx, cy, cz = prims_ref[k, 7], prims_ref[k, 8], prims_ref[k, 9]
+    def folder():
+        """Accumulate (best_t, best_p) in registers; one VMEM write at end."""
+        state = [t_ref[:, :], p_ref[:, :]]
 
-        # ---- sphere: a=center, bx=radius ----
-        vx, vy, vz = o_x - ax, o_y - ay, o_z - az
-        qb = -(vx * d_x + vy * d_y + vz * d_z)
-        det = qb * qb - (vx * vx + vy * vy + vz * vz) + bx * bx
-        sq = jnp.sqrt(jnp.maximum(det, 0.0))
-        i1 = qb - sq
-        i2 = qb + sq
-        t_s = jnp.where((det >= 0.0) & (i1 > 0.0) & (i2 > 0.0), i1, _BIG)
+        def fold(k, t_k):
+            prim_idx = prims_ref[k, 10].astype(jnp.int32)  # original scene row
+            better = t_k < state[0]
+            state[0] = jnp.where(better, t_k, state[0])
+            state[1] = jnp.where(better, prim_idx, state[1])
 
-        # ---- box: a=min, b=max ----
+        def flush():
+            t_ref[:, :] = state[0]
+            p_ref[:, :] = state[1]
+
+        return fold, flush
+
+    @pl.when(chunk_type == PRIM_SPHERE)
+    def _():
+        fold, flush = folder()
+        for k in range(PRIM_TILE):
+            ax, ay, az = prims_ref[k, 1], prims_ref[k, 2], prims_ref[k, 3]
+            r = prims_ref[k, 4]
+            vx, vy, vz = o_x - ax, o_y - ay, o_z - az
+            qb = -(vx * d_x + vy * d_y + vz * d_z)
+            det = qb * qb - (vx * vx + vy * vy + vz * vz) + r * r
+            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+            i1 = qb - sq
+            i2 = qb + sq
+            fold(k, jnp.where((det >= 0.0) & (i1 > 0.0) & (i2 > 0.0), i1, _BIG))
+        flush()
+
+    @pl.when(chunk_type == PRIM_BOX)
+    def _():
+        fold, flush = folder()
         rx = 1.0 / jnp.where(d_x == 0.0, 1e-20, d_x)
         ry = 1.0 / jnp.where(d_y == 0.0, 1e-20, d_y)
         rz = 1.0 / jnp.where(d_z == 0.0, 1e-20, d_z)
-        t1x, t2x = (ax - o_x) * rx, (bx - o_x) * rx
-        t1y, t2y = (ay - o_y) * ry, (by - o_y) * ry
-        t1z, t2z = (az - o_z) * rz, (bz - o_z) * rz
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.minimum(t1z, t2z),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.maximum(t1z, t2z),
-        )
-        t_b = jnp.where((tmax >= tmin) & (tmin >= 0.0), tmin, _BIG)
+        for k in range(PRIM_TILE):
+            ax, ay, az = prims_ref[k, 1], prims_ref[k, 2], prims_ref[k, 3]
+            bx, by, bz = prims_ref[k, 4], prims_ref[k, 5], prims_ref[k, 6]
+            t1x, t2x = (ax - o_x) * rx, (bx - o_x) * rx
+            t1y, t2y = (ay - o_y) * ry, (by - o_y) * ry
+            t1z, t2z = (az - o_z) * rz, (bz - o_z) * rz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            fold(k, jnp.where((tmax >= tmin) & (tmin >= 0.0), tmin, _BIG))
+        flush()
 
-        # ---- triangle: a=v0, b=v1, c=v2 (Moller-Trumbore) ----
-        e1x, e1y, e1z = bx - ax, by - ay, bz - az
-        e2x, e2y, e2z = cx - ax, cy - ay, cz - az
-        pvx = d_y * e2z - d_z * e2y
-        pvy = d_z * e2x - d_x * e2z
-        pvz = d_x * e2y - d_y * e2x
-        det_t = e1x * pvx + e1y * pvy + e1z * pvz
-        idet = 1.0 / jnp.where(det_t == 0.0, 1.0, det_t)
-        tvx, tvy, tvz = o_x - ax, o_y - ay, o_z - az
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * idet
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (d_x * qvx + d_y * qvy + d_z * qvz) * idet
-        t_tr = (e2x * qvx + e2y * qvy + e2z * qvz) * idet
-        ok_t = (
-            (det_t != 0.0)
-            & (u >= 0.0)
-            & (u <= 1.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t_tr > 0.0)
-        )
-        t_t = jnp.where(ok_t, t_tr, _BIG)
-
-        t_k = jnp.where(
-            ptype == PRIM_SPHERE,
-            t_s,
-            jnp.where(ptype == PRIM_BOX, t_b, t_t),
-        )
-        prim_idx = jprog * PRIM_TILE + k
-        better = t_k < best_t
-        best_t = jnp.where(better, t_k, best_t)
-        best_p = jnp.where(better, prim_idx, best_p)
-
-    t_ref[:, :] = best_t
-    p_ref[:, :] = best_p
+    @pl.when(chunk_type == PRIM_TRIANGLE)
+    def _():
+        fold, flush = folder()
+        for k in range(PRIM_TILE):
+            ax, ay, az = prims_ref[k, 1], prims_ref[k, 2], prims_ref[k, 3]
+            bx, by, bz = prims_ref[k, 4], prims_ref[k, 5], prims_ref[k, 6]
+            cx, cy, cz = prims_ref[k, 7], prims_ref[k, 8], prims_ref[k, 9]
+            e1x, e1y, e1z = bx - ax, by - ay, bz - az
+            e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+            pvx = d_y * e2z - d_z * e2y
+            pvy = d_z * e2x - d_x * e2z
+            pvz = d_x * e2y - d_y * e2x
+            det_t = e1x * pvx + e1y * pvy + e1z * pvz
+            idet = 1.0 / jnp.where(det_t == 0.0, 1.0, det_t)
+            tvx, tvy, tvz = o_x - ax, o_y - ay, o_z - az
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * idet
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (d_x * qvx + d_y * qvy + d_z * qvz) * idet
+            t_tr = (e2x * qvx + e2y * qvy + e2z * qvz) * idet
+            ok_t = (
+                (det_t != 0.0)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t_tr > 0.0)
+            )
+            fold(k, jnp.where(ok_t, t_tr, _BIG))
+        flush()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -149,18 +169,50 @@ def _pallas_closest(prims_packed, ox, oy, oz, dx, dy, dz, interpret=False):
 
 
 def pack_prims_np(scene) -> np.ndarray:
-    """(P_pad, 16) f32 primitive table; padding rows are degenerate
-    triangles (type 2, all-zero vertices) that can never hit. Pure numpy —
+    """(P_pad, 16) f32 primitive table for the Pallas kernel, PARTITIONED
+    BY PRIMITIVE TYPE: all spheres, then boxes, then triangles, each
+    segment padded to a PRIM_TILE multiple with never-hit rows of the same
+    type (sphere: r=0 at 1e30; box: min > max; triangle: all-zero verts).
+    Column 10 carries the ORIGINAL scene row index, which the kernel
+    reports as the winner — so results are identical to the unsorted
+    brute-force query. The partition lets the kernel run exactly one
+    type-specialized intersector per chunk (see _kernel). Pure numpy —
     runs at scene-compile time with zero device round-trips."""
-    P = scene.prim_type.shape[0]
-    P_pad = -(-P // PRIM_TILE) * PRIM_TILE
-    rows = np.zeros((P_pad, 16), np.float32)
-    rows[:, 0] = 2.0  # default: degenerate triangle
-    rows[:P, 0] = np.asarray(scene.prim_type, np.float32)
-    rows[:P, 1:4] = np.asarray(scene.prim_a, np.float32)
-    rows[:P, 4:7] = np.asarray(scene.prim_b, np.float32)
-    rows[:P, 7:10] = np.asarray(scene.prim_c, np.float32)
-    return rows
+    ptype = np.asarray(scene.prim_type, np.int32)
+    pa = np.asarray(scene.prim_a, np.float32)
+    pb = np.asarray(scene.prim_b, np.float32)
+    pc = np.asarray(scene.prim_c, np.float32)
+
+    segments = []
+    for t in (PRIM_SPHERE, PRIM_BOX, PRIM_TRIANGLE):
+        (idx,) = np.nonzero(ptype == t)
+        if idx.size == 0:
+            continue
+        n_pad = -(-idx.size // PRIM_TILE) * PRIM_TILE
+        seg = np.zeros((n_pad, 16), np.float32)
+        seg[:, 0] = t
+        seg[: idx.size, 1:4] = pa[idx]
+        seg[: idx.size, 4:7] = pb[idx]
+        seg[: idx.size, 7:10] = pc[idx]
+        seg[: idx.size, 10] = idx.astype(np.float32)
+        # never-winning padding per type. NOTE an "inverted" box (min > max)
+        # is NOT a miss — the slab test re-sorts t1/t2 per axis — so padding
+        # shapes are instead placed ~1e30 away: any hit has t >> T_MAX and
+        # loses the running min to every real hit (and reports found=False
+        # when nothing real hits, same as the XLA argmin-of-misses path).
+        if t == PRIM_SPHERE:
+            seg[idx.size :, 1] = 1.0e30  # far center, r=0 -> det NaN/neg -> miss
+        elif t == PRIM_BOX:
+            seg[idx.size :, 1:4] = 1.0e30
+            seg[idx.size :, 4:7] = 2.0e30
+        # triangles: all-zero vertices -> det == 0 -> reject
+        seg[idx.size :, 10] = 0.0  # clamp padding winners to row 0 (never win)
+        segments.append(seg)
+    if not segments:
+        seg = np.zeros((PRIM_TILE, 16), np.float32)
+        seg[:, 0] = PRIM_TRIANGLE
+        segments.append(seg)
+    return np.concatenate(segments, axis=0)
 
 
 def pack_prims(scene) -> jnp.ndarray:

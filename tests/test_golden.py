@@ -17,15 +17,18 @@ from plutracer_tpu.scene import compile_scene, load_scene_file
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
 SCENES = pathlib.Path("/root/reference/scenes")
+REPO_SCENES = pathlib.Path(__file__).parent.parent / "scenes"
 W, H, N, SEED = 64, 48, 2, 42
 
-NAMES = [p.stem for p in sorted(SCENES.glob("*.urn"))]
+PATHS = {p.stem: p for p in sorted(SCENES.glob("*.urn"))}
+PATHS.update({f"repo-{p.stem}": p for p in sorted(REPO_SCENES.glob("*.urn"))})
+NAMES = sorted(PATHS)
 
 
 @pytest.mark.parametrize("name", NAMES)
 def test_golden(name):
     golden = np.load(GOLDEN_DIR / f"{name}.npz")["linear"].astype(np.float32)
-    d = load_scene_file(str(SCENES / f"{name}.urn"), ["/res", f"{W}x{H}"])
+    d = load_scene_file(str(PATHS[name]), ["/res", f"{W}x{H}"])
     s = compile_scene(d)
     img = np.asarray(render(s, W, H, N, jax.random.PRNGKey(SEED)))
     assert img.shape == golden.shape

@@ -47,13 +47,23 @@ def test_pallas_ray_padding():
     np.testing.assert_array_equal(np.asarray(f_x), np.asarray(f_p))
 
 
-def test_pack_prims_padding_misses():
+def test_pack_prims_partitioned_layout():
+    """pack_prims partitions by type (one type per 8-row chunk), pads each
+    segment to a chunk multiple, and carries original row ids in col 10."""
     d = load_scene_file("/root/reference/scenes/cornell-box.urn", ["/res", "8x8"])
     s = compile_scene(d)
-    packed = pack_prims(s)
+    packed = np.asarray(pack_prims(s))
     assert packed.shape[0] % 8 == 0
-    # padded rows are degenerate triangles
-    P = s.prim_type.shape[0]
-    if packed.shape[0] > P:
-        assert float(packed[P:, 0].min()) == 2.0
-        assert float(jnp.abs(packed[P:, 1:]).max()) == 0.0
+    # chunk-uniform types, ordered sphere < box < triangle
+    chunk_types = packed[::8, 0]
+    for c in range(packed.shape[0] // 8):
+        assert (packed[8 * c : 8 * c + 8, 0] == chunk_types[c]).all()
+    assert (np.diff(chunk_types) >= 0).all()
+    # every original row appears exactly once among non-padding rows
+    ptype = np.asarray(s.prim_type)
+    ids = []
+    for t in (0, 1, 2):
+        n = int((ptype == t).sum())
+        seg_rows = packed[packed[:, 0] == t]
+        ids += list(seg_rows[:n, 10].astype(int))
+    assert sorted(ids) == list(range(ptype.shape[0]))

@@ -25,21 +25,30 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from plutracer_tpu.render.renderer import render
 from plutracer_tpu.scene import compile_scene, load_scene_file
 
-GOLDEN_DIR = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
+REPO = pathlib.Path(__file__).resolve().parent.parent
+GOLDEN_DIR = REPO / "tests" / "goldens"
 SCENES = pathlib.Path("/root/reference/scenes")
 
 W, H, N, SEED = 64, 48, 2, 42
 
 
+def all_scenes():
+    """(golden-stem, path) for the reference corpus + this repo's scenes
+    (repo scenes prefixed 'repo-' to avoid stem collisions)."""
+    out = [(p.stem, p) for p in sorted(SCENES.glob("*.urn"))]
+    out += [(f"repo-{p.stem}", p) for p in sorted((REPO / "scenes").glob("*.urn"))]
+    return out
+
+
 def main():
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
-    for p in sorted(SCENES.glob("*.urn")):
+    for stem, p in all_scenes():
         d = load_scene_file(str(p), ["/res", f"{W}x{H}"])
         s = compile_scene(d)
         img = np.asarray(render(s, W, H, N, jax.random.PRNGKey(SEED)))
-        out = GOLDEN_DIR / f"{p.stem}.npz"
+        out = GOLDEN_DIR / f"{stem}.npz"
         np.savez_compressed(out, linear=img.astype(np.float16))
-        print(f"{p.stem}: mean={img.mean():.4f} max={img.max():.2f} -> {out.name}")
+        print(f"{stem}: mean={img.mean():.4f} max={img.max():.2f} -> {out.name}")
 
 
 if __name__ == "__main__":
