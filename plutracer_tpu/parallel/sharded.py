@@ -16,6 +16,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from plutracer_tpu.ops.camera import generate_rays
@@ -25,13 +26,22 @@ from plutracer_tpu.semantics import DEFAULT_OPTIONS, RenderOptions
 
 
 def _pad_to(x, mult: int, axis: int = 0):
+    """Pad axis to a multiple of `mult`, preserving host-vs-device-ness.
+
+    Host numpy inputs stay numpy (uncommitted): that matters for
+    multi-host, where every process holds the same host bytes so jit can
+    assemble the global sharded array locally — a committed single-device
+    jnp input cannot be resharded across processes. Device/tracer inputs
+    are padded with jnp (no host round-trip on the single-host hot path).
+    """
+    xp = np if isinstance(x, np.ndarray) else jnp
     n = x.shape[axis]
     pad = (-n) % mult
     if pad == 0:
         return x, n
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
-    return jnp.pad(x, widths), n
+    return xp.pad(x, widths), n
 
 
 def _trace_stratum(scene, px0, stratum, n, key, options):
@@ -64,11 +74,9 @@ def render_sharded(
     d_tiles = mesh.shape["tiles"]
     d_spp = mesh.shape["spp"]
     spp = n * n
-    px_all = pixel_centers(width, height)
-    px_pad, n_px = _pad_to(px_all, d_tiles)
+    px_pad, n_px = _pad_to(np.asarray(pixel_centers(width, height)), d_tiles)
 
-    strata = jnp.arange(spp, dtype=jnp.int32)
-    strata_pad, _ = _pad_to(strata, d_spp)
+    strata_pad, _ = _pad_to(np.arange(spp, dtype=np.int32), d_spp)
     local_strata = strata_pad.shape[0] // d_spp
 
     def shard_fn(px_local, strata_local):
@@ -99,6 +107,13 @@ def render_sharded(
             out_specs=P("tiles"),
         )
     )(px_pad, strata_pad)
+    if jax.process_count() > 1:
+        # the output is globally sharded across processes; gather the full
+        # image to every host before the (host-side) slice + reshape
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.process_allgather(out, tiled=True)
+    out = np.asarray(out)
     return (out[:n_px] / spp).reshape(height, width, 3)
 
 
@@ -156,8 +171,7 @@ def make_train_step(
     if optimizer is None:
         optimizer = optax.adam(1e-2)
     d_tiles = mesh.shape["tiles"]
-    px_all = pixel_centers(width, height)
-    px_pad, n_px = _pad_to(px_all, d_tiles)
+    px_pad, n_px = _pad_to(np.asarray(pixel_centers(width, height)), d_tiles)
     target_spec = P("tiles")
 
     def _compare(c, t):
@@ -204,12 +218,17 @@ def make_train_step(
     )
 
     @jax.jit
-    def step(params, opt_state, target_flat, key, stratum):
-        tgt_pad, _ = _pad_to(target_flat, d_tiles)
+    def _step(params, opt_state, tgt_pad, key, stratum):
         loss, grads = sharded(params, px_pad, tgt_pad, key, stratum)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step(params, opt_state, target_flat, key, stratum):
+        # pad on host (numpy): keeps the target uncommitted so the global
+        # P("tiles") sharding works across processes (see _pad_to)
+        tgt_pad, _ = _pad_to(target_flat, d_tiles)
+        return _step(params, opt_state, tgt_pad, key, stratum)
 
     def init(params):
         return optimizer.init(params)

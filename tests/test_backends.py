@@ -44,11 +44,17 @@ def test_backends_structural_with_glass(scene):
     the glass sphere — the reference's own output depends on the same coin
     (compiler fp flags). Cross-backend agreement with dielectrics is
     therefore only structural: most pixels identical, the rest bounded."""
-    a = np.minimum(_render(scene, "xla", n=6), 20.0)
-    b = np.minimum(_render(scene, "bvh", n=6), 20.0)
+    a = np.log1p(np.minimum(_render(scene, "xla", n=6), 20.0))
+    b = np.log1p(np.minimum(_render(scene, "bvh", n=6), 20.0))
     diff = np.abs(a - b)
-    # the bulk of the image is unaffected by the dielectric knife edge
+    # the bulk of the image is unaffected by the dielectric knife edge...
     assert np.quantile(diff, 0.5) < 1e-3
+    # ...and the knife edge is confined to glass/mirror pixels: bound the
+    # FRACTION of structurally differing pixels (not just the median) so a
+    # genuinely divergent backend (whole image off) fails. Measured level
+    # at this config: ~0.10 (the spheres cover ~1/3 of the 24x24 frame).
+    frac_diff = (diff.max(axis=-1) > 0.05).mean()
+    assert frac_diff < 0.25, f"{frac_diff:.3f} of pixels differ > 0.05"
     assert np.isfinite(b).all()
 
 

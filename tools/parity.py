@@ -42,6 +42,8 @@ import tempfile
 
 import numpy as np
 
+import shutil
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
@@ -67,6 +69,11 @@ CONFIGS = [
     ("room.urn", 128, 128, 12),
     ("test.urn", 128, 128, 12),
     ("test1.urn", 128, 128, 12),
+    # this repo's scenes, covering paths the reference corpus never
+    # exercises: a triangle mesh (OBJ loader + BVH on their side, Pallas
+    # brute on ours) and an image texture from a BMP fixture
+    ("mesh0.urn", 128, 128, 10),
+    ("textured0.urn", 128, 128, 12),
 ]
 QUICK_CONFIGS = [
     ("minimal0.urn", 128, 128, 8),
@@ -84,12 +91,20 @@ def build_oracle() -> pathlib.Path:
 
 
 def render_ref(scene_path: str, w: int, h: int, smp: int) -> np.ndarray:
-    """One oracle render -> (H, W, 3) float in [0,1] (tonemapped u8)."""
+    """One oracle render -> (H, W, 3) float in [0,1] (tonemapped u8).
+
+    Runs in a temp dir; the scene file plus any sibling .obj/.bmp assets
+    are copied in, because the reference resolves asset paths relative to
+    its CWD (inc/scene.h:138, src/texture.cpp:4)."""
     from plutracer_tpu.io.bmp import read_bmp
 
+    src = pathlib.Path(scene_path)
     with tempfile.TemporaryDirectory() as td:
+        shutil.copy(src, td)
+        for asset in list(src.parent.glob("*.obj")) + list(src.parent.glob("*.bmp")):
+            shutil.copy(asset, td)
         subprocess.run(
-            [str(ORACLE), scene_path, "/res", f"{w}x{h}", "/smp", str(smp)],
+            [str(ORACLE), src.name, "/res", f"{w}x{h}", "/smp", str(smp)],
             cwd=td, stdin=subprocess.DEVNULL, capture_output=True, check=True,
             timeout=3600,
         )
@@ -134,7 +149,8 @@ def metrics(a: np.ndarray, b: np.ndarray) -> dict:
 
 
 def check_scene(scene: str, w: int, h: int, smp: int) -> dict:
-    path = str(REF_SCENES / scene)
+    ref_path = REF_SCENES / scene
+    path = str(ref_path if ref_path.exists() else REPO / "scenes" / scene)
     ref_a = render_ref(path, w, h, smp)
     ref_b = render_ref(path, w, h, smp)
     ours = render_ours(path, w, h, smp)
