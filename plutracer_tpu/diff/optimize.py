@@ -40,6 +40,13 @@ class InverseRenderConfig:
     # project parameters to be nonnegative after each update (albedo,
     # emission, and texture colors are physically >= 0)
     project_nonnegative: bool = True
+    # optional optax optimizer (overrides the default adam(learning_rate));
+    # use e.g. optax.multi_transform for per-field learning rates when the
+    # parameter scales differ by orders of magnitude (emission ~500 vs
+    # albedo ~0.2)
+    optimizer: Optional[object] = None
+    # optional per-entry 0/1 gradient mask (see make_train_step)
+    grad_mask: Optional[Dict] = None
 
 
 def optimize_scene(
@@ -57,11 +64,11 @@ def optimize_scene(
     import optax
 
     mesh = make_mesh(config.mesh_shape)
-    opt = optax.adam(config.learning_rate)
+    opt = config.optimizer or optax.adam(config.learning_rate)
     step = make_train_step(
         scene, config.width, config.height, config.n, mesh, optimizer=opt,
         options=config.options, loss_space=config.loss_space,
-        trainable=config.trainable,
+        trainable=config.trainable, grad_mask=config.grad_mask,
     )
     params = init_params if init_params is not None else get_params(scene)
     opt_state = step.init(params)

@@ -233,6 +233,15 @@ def bvh_closest(scene, bvh: BvhArrays, o, d):
 
     B = o.shape[0]
     N = bvh.num_nodes
+    # build_bvh returns host numpy (compile_scene device_puts the whole
+    # pytree in one shot); coerce here so standalone callers can traverse
+    # a fresh tree directly — tracer-indexing a numpy array is an error
+    bvh = BvhArrays(
+        node_min=jnp.asarray(bvh.node_min),
+        node_max=jnp.asarray(bvh.node_max),
+        node_skip=jnp.asarray(bvh.node_skip),
+        node_prim=jnp.asarray(bvh.node_prim),
+    )
 
     def cond(state):
         node, best_t, best_p = state

@@ -1,0 +1,1057 @@
+"""Pallas integrator megakernel: the ENTIRE bounce loop in one TPU program.
+
+Why: the XLA integrator is HBM-bandwidth-bound at XLA's fusion granularity
+(PERF.md roofline: ~900 elementwise kernels per bounce, each streaming its
+(B,) operands through HBM at ~2.6 us — 85% of render time, ~16 GB of
+traffic per stratum at B=262k). This kernel keeps every per-ray quantity in
+VMEM/registers across ALL bounces: HBM traffic collapses to reading the
+primary rays + uniforms once and writing the radiance once.
+
+Semantics: a line-for-line port of render/integrator.py::ray_color (which
+itself matches the reference src/renderer.cpp:59-96 — same citations apply)
+operating on component-separated (32, 128) ray tiles. The caller passes in
+the SAME jax.random uniforms the XLA path would draw (u = uniform(fold_in
+(key, bounce), (B, 12))), so the two paths make identical sampling
+decisions and agree per-sample up to float32 reassociation (the dielectric
+knife edge, sphere.cpp:21-23, can still flip isolated lanes).
+
+Scope (static, from scene SHAPES — see `megakernel_eligible`): at most
+MAX_P primitives / MAX_M materials / MAX_T textures / MAX_L lights and no
+image textures (a per-ray atlas gather has no efficient VMEM lowering).
+Scenes beyond the gate render through the XLA path unchanged.
+
+Layout: rays are (B/128, 128) f32 per component, block (32, 128) = 4096
+rays per program; entity tables ride along whole (ops.tables layouts);
+uniforms are (max_bounces*12, B/128, 128) sliced per bounce inside a
+lax.fori_loop (compiles the bounce body once instead of 8 times).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from plutracer_tpu.ops.intersect import T_MAX, _BIG
+from plutracer_tpu.scene.types import (
+    LIGHT_POINT,
+    MAT_DIFFUSE,
+    MAT_GLASS,
+    MAT_MIRROR,
+    MAT_REFRACT,
+    PRIM_BOX,
+    PRIM_SPHERE,
+    TEX_CHECKERBOARD,
+)
+
+RAY_TILE = 4096  # rays per program: (32, 128)
+TILE = (32, 128)
+
+# static eligibility caps: every table must fit VMEM and the unrolled
+# per-row select chains / intersection loops must stay small. All
+# BASELINE.md configs except the 1283-prim mesh scene qualify.
+MAX_P = 64
+MAX_M = 16
+MAX_T = 8
+MAX_L = 8
+
+INV_PI = 1.0 / 3.14159265358979323846
+PI = 3.14159265358979323846
+
+
+def megakernel_eligible(scene, options) -> bool:
+    """Static qualification (shapes only — safe under jit tracing)."""
+    return (
+        getattr(scene, "prims_packed", None) is not None
+        and scene.prim_type.shape[0] <= MAX_P
+        and scene.mat_type.shape[0] <= MAX_M
+        and scene.tex_type.shape[0] <= MAX_T
+        and 1 <= scene.light_type.shape[0] <= MAX_L
+        and scene.atlas.shape[0] <= 1  # no image textures
+        and getattr(options, "dtype", "float32") == "float32"
+    )
+
+
+# ---------------------------------------------------------------------------
+# component-tuple vector helpers ((32,128) per component)
+# ---------------------------------------------------------------------------
+
+
+def _vdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _vcross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _vadd(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _vsub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _vmul(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def _vscale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _vneg(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _vwhere(m, a, b):
+    return (
+        jnp.where(m, a[0], b[0]),
+        jnp.where(m, a[1], b[1]),
+        jnp.where(m, a[2], b[2]),
+    )
+
+
+def _vnormalize(a):
+    r = jax.lax.rsqrt(_vdot(a, a) + 1e-30)
+    return _vscale(a, r)
+
+
+def _safe_div(a, b):
+    return a / jnp.where(b == 0.0, 1.0, b)
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(jnp.where(x > 0.0, x, 1.0)) * jnp.where(x > 0.0, 1.0, 0.0)
+
+
+def _acos(x):
+    """arccos via the A&S 4.4.46 minimax polynomial (|err| < 2e-8 rad —
+    below f32 resolution of the result): Mosaic lowers neither acos nor
+    atan2. Inputs are already clipped to [-1, 1] at every call site."""
+    ax = jnp.abs(x)
+    s = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0))
+    p = -0.0012624911
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * ax + c
+    r = s * p
+    return jnp.where(x < 0.0, PI - r, r)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel table row fetch: unrolled select chain over table rows
+# (gathers have no VPU lowering; row counts are statically <= MAX_*)
+# ---------------------------------------------------------------------------
+
+
+def _sel_rows(tbl, idx, cols):
+    """rows[idx][cols] as an unrolled where-chain over PRE-LOADED scalar
+    rows (tbl: list of per-row column tuples — loaded once per program,
+    outside the bounce loop, so the VMEM scalar reads are loop-invariant).
+    idx: (32,128) i32. Returns one (32,128) f32 array per column."""
+    outs = [jnp.full(idx.shape, tbl[0][c]) for c in cols]
+    for p in range(1, len(tbl)):
+        m = idx == p
+        outs = [jnp.where(m, tbl[p][c], o) for c, o in zip(cols, outs)]
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# per-row intersection t (ops/intersect.py:49-91, same accept rules)
+# ---------------------------------------------------------------------------
+
+
+def _sphere_t_row(o, d, a, r):
+    v = _vsub(o, a)
+    qb = -_vdot(v, d)
+    det = qb * qb - _vdot(v, v) + r * r
+    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    i1 = qb - sq
+    i2 = qb + sq
+    return jnp.where((det >= 0.0) & (i1 > 0.0) & (i2 > 0.0), i1, _BIG)
+
+
+def _box_t_row(o, d, a, b):
+    rx = 1.0 / jnp.where(d[0] == 0.0, 1e-20, d[0])
+    ry = 1.0 / jnp.where(d[1] == 0.0, 1e-20, d[1])
+    rz = 1.0 / jnp.where(d[2] == 0.0, 1e-20, d[2])
+    t1x, t2x = (a[0] - o[0]) * rx, (b[0] - o[0]) * rx
+    t1y, t2y = (a[1] - o[1]) * ry, (b[1] - o[1]) * ry
+    t1z, t2z = (a[2] - o[2]) * rz, (b[2] - o[2]) * rz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    return jnp.where((tmax >= tmin) & (tmin >= 0.0), tmin, _BIG)
+
+
+def _tri_t_row(o, d, a, b, c):
+    e1 = _vsub(b, a)
+    e2 = _vsub(c, a)
+    pv = _vcross(d, e2)
+    det = _vdot(e1, pv)
+    idet = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tv = _vsub(o, a)
+    u = _vdot(tv, pv) * idet
+    qv = _vcross(tv, e1)
+    v = _vdot(d, qv) * idet
+    t = _vdot(e2, qv) * idet
+    ok = (
+        (det != 0.0)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    return jnp.where(ok, t, _BIG)
+
+
+def _t_rowvals(ty, o, d, a, b, c):
+    """t for one primitive row against a ray tile; ty is the row's scalar
+    type. Branch-free (compute all three intersectors + select): Mosaic
+    lowers vector-valued lax.switch/cond poorly inside scf loops — the
+    predicated form vectorizes cleanly and, at the table sizes the
+    megakernel admits, the 3x arithmetic is noise."""
+    ts = _sphere_t_row(o, d, a, b[0])
+    tb = _box_t_row(o, d, a, b)
+    tt = _tri_t_row(o, d, a, b, c)
+    return jnp.where(ty == PRIM_SPHERE, ts, jnp.where(ty == PRIM_BOX, tb, tt))
+
+
+def _closest(prim_rows, o, d):
+    """Brute-force closest hit over all pre-loaded table rows. Returns
+    (found, prim, t). prim_rows: list of (ty, a, b, c) scalar tuples."""
+    best_t = jnp.full(TILE, _BIG)
+    best_p = jnp.zeros(TILE, jnp.int32)
+    for k, (ty, a, b, c) in enumerate(prim_rows):
+        tk = _t_rowvals(ty, o, d, a, b, c)
+        better = tk < best_t
+        best_t = jnp.where(better, tk, best_t)
+        best_p = jnp.where(better, k, best_p)
+    return best_t < T_MAX, best_p, best_t
+
+
+def _prim_t_perray(rows, o, d):
+    """t against ONE per-ray primitive row (compute-all-types + select;
+    ops/intersect.py:_prim_t_batched)."""
+    ty, a, b, c = rows["ptype"], rows["a"], rows["b"], rows["c"]
+    ts = _sphere_t_row(o, d, a, b[0])
+    tb = _box_t_row(o, d, a, b)
+    tt = _tri_t_row(o, d, a, b, c)
+    return jnp.where(ty == PRIM_SPHERE, ts, jnp.where(ty == PRIM_BOX, tb, tt))
+
+
+# ---------------------------------------------------------------------------
+# hit detail (ops/intersect.py:225-342)
+# ---------------------------------------------------------------------------
+
+
+def _detail_norm(rows, p, o, d):
+    """Geometric normal only (for area-light pdfs; hit_detail_rows' norm)."""
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    sn = _vnormalize(_vsub(p, a))
+    bn = _box_norm(p, a, b)[0]
+    tn = _tri_norm(a, b, c)[0]
+    ty = rows["ptype"]
+    is_s = ty == PRIM_SPHERE
+    is_b = ty == PRIM_BOX
+    return _vwhere(is_s, sn, _vwhere(is_b, bn, tn))
+
+
+def _box_norm(p, a, b):
+    """Nearest-face normal + (mci, sign) (src/surfaces/box.cpp:37-62)."""
+    cx, cy, cz = (
+        (a[0] + b[0]) * 0.5,
+        (a[1] + b[1]) * 0.5,
+        (a[2] + b[2]) * 0.5,
+    )
+    ex, ey, ez = b[0] - cx, b[1] - cy, b[2] - cz
+    nx_, ny_, nz_ = p[0] - cx, p[1] - cy, p[2] - cz
+    d0 = jnp.abs(ex - jnp.abs(nx_))
+    d1 = jnp.abs(ey - jnp.abs(ny_))
+    d2 = jnp.abs(ez - jnp.abs(nz_))
+    # first minimum (jnp.argmin tie rule, matches the reference's strict <)
+    is0 = (d0 <= d1) & (d0 <= d2)
+    is1 = (~is0) & (d1 <= d2)
+    is2 = ~(is0 | is1)
+    sgn = lambda v: jnp.where(v < 0.0, -1.0, 1.0)  # sign(0) -> +1
+    norm = (
+        jnp.where(is0, sgn(nx_), 0.0),
+        jnp.where(is1, sgn(ny_), 0.0),
+        jnp.where(is2, sgn(nz_), 0.0),
+    )
+    mci = jnp.where(is0, 0, jnp.where(is1, 1, 2))
+    return norm, mci
+
+
+def _tri_norm(a, b, c):
+    """cross(U,V) of normalized edges, left unnormalized (triangle.cpp:27)."""
+    e1 = _vsub(b, a)
+    e2 = _vsub(c, a)
+    U = _vnormalize(e1)
+    V = _vnormalize(e2)
+    return _vcross(U, V), (U, e1, e2)
+
+
+def _hit_detail(rows, o, d, t, found):
+    """Full shading detail for per-ray winner rows. Returns
+    (p, norm, uv, dpdu) with uv = (u, v) pair."""
+    t_safe = jnp.where(found, t, 1.0)
+    p = _vadd(o, _vscale(d, t_safe))
+    a, b, c = rows["a"], rows["b"], rows["c"]
+
+    # sphere (src/surfaces/sphere.cpp:28-44)
+    sn = _vnormalize(_vsub(p, a))
+    cos_phi = -sn[1]
+    phi = _acos(jnp.clip(cos_phi, -1.0, 1.0))
+    sin_phi = jnp.sin(phi)
+    sv = phi * INV_PI
+    safe_sin = jnp.where(sin_phi == 0.0, 1.0, sin_phi)
+    ct = jnp.clip(-sn[2] / safe_sin, -1.0, 1.0)
+    theta = _acos(ct) * (2.0 * INV_PI)
+    theta = jnp.where(sin_phi == 0.0, 0.0, theta)
+    theta = jnp.where(sn[0] >= 0.0, 1.0 - theta, theta)
+    suv = (theta, sv)
+    two_pi = 2.0 * PI
+    sdpdu = (-two_pi * p[1], two_pi * p[0], jnp.zeros_like(p[0]))
+    deg = _vdot(sdpdu, sdpdu) < 1e-20
+    # fallback cross((0,1,0), norm) = (n_z, 0, -n_x)
+    sdpdu = _vwhere(deg, (sn[2], jnp.zeros_like(sn[2]), -sn[0]), sdpdu)
+
+    # box (src/surfaces/box.cpp:29-62)
+    bn, mci = _box_norm(p, a, b)
+    idx_u = jnp.where(mci == 2, 1, 0)
+    idx_v = jnp.where(mci == 0, 1, jnp.where(mci == 1, 2, 0))
+    pick3 = lambda v, i: jnp.where(i == 0, v[0], jnp.where(i == 1, v[1], v[2]))
+    buv = (pick3(p, idx_u), pick3(p, idx_v))
+    one = jnp.ones_like(p[0])
+    zero = jnp.zeros_like(p[0])
+    bdpdu = (
+        jnp.where(idx_u == 0, one, zero),
+        jnp.where(idx_u == 1, one, zero),
+        jnp.where(idx_u == 2, one, zero),
+    )
+
+    # triangle (src/surfaces/triangle.cpp:5-33 + swapped bary weights)
+    tn, (U, e1, e2) = _tri_norm(a, b, c)
+    pv = _vcross(d, e2)
+    det = _vdot(e1, pv)
+    idet = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tv = _vsub(o, a)
+    tu = _vdot(tv, pv) * idet
+    qv = _vcross(tv, e1)
+    tvv = _vdot(d, qv) * idet
+    tw = 1.0 - (tu + tvv)
+    uv0, uv1, uv2 = rows["uv0"], rows["uv1"], rows["uv2"]
+    tuv = (
+        uv0[0] * tu + uv1[0] * tvv + uv2[0] * tw,
+        uv0[1] * tu + uv1[1] * tvv + uv2[1] * tw,
+    )
+
+    ty = rows["ptype"]
+    is_s = ty == PRIM_SPHERE
+    is_b = ty == PRIM_BOX
+    norm = _vwhere(is_s, sn, _vwhere(is_b, bn, tn))
+    uv = (
+        jnp.where(is_s, suv[0], jnp.where(is_b, buv[0], tuv[0])),
+        jnp.where(is_s, suv[1], jnp.where(is_b, buv[1], tuv[1])),
+    )
+    dpdu = _vwhere(is_s, sdpdu, _vwhere(is_b, bdpdu, U))
+    return p, norm, uv, dpdu
+
+
+# ---------------------------------------------------------------------------
+# textures (ops/texture.py; no image textures in-kernel)
+# ---------------------------------------------------------------------------
+
+
+def _eval_albedo(mrows, trows, uv):
+    ttype = trows["ttype"]
+    scale = trows["scale"]
+    c0, c1 = trows["c0"], trows["c1"]
+    fu = uv[0] * scale
+    fv = uv[1] * scale
+    # checkerboard
+    idx = jnp.mod(jnp.floor(fu) + jnp.floor(fv), 2.0)
+    checker = _vwhere(idx < 1.0, c0, c1)
+    # grid: glm step(fract, line)
+    gru = jnp.where(trows["line"] >= fu - jnp.floor(fu), 1.0, 0.0)
+    grv = jnp.where(trows["line"] >= fv - jnp.floor(fv), 1.0, 0.0)
+    m = jnp.maximum(gru, grv)
+    grid = _vadd(c1, _vscale(_vsub(c0, c1), m))  # bg + (fg-bg)*m; fg=c0, bg=c1
+    texval = _vwhere(ttype == TEX_CHECKERBOARD, checker, grid)
+    return _vwhere(mrows["tex"] >= 0.0, texval, mrows["color"])
+
+
+# ---------------------------------------------------------------------------
+# sampling distributions (ops/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def _concentric_disk(u0, u1):
+    ux = 2.0 * u0 - 1.0
+    uy = 2.0 * u1 - 1.0
+    zero = (ux == 0.0) & (uy == 0.0)
+    cond_a = ux >= -uy
+    cond_b = ux > uy
+    cond_c = ux <= uy
+    safe = lambda x: jnp.where(x == 0.0, 1.0, x)
+    phi_a1 = jnp.where(uy > 0.0, uy / safe(ux), 8.0 + uy / safe(ux))
+    phi_a2 = 2.0 - ux / safe(uy)
+    phi_b1 = 4.0 - uy / safe(ux)
+    phi_b2 = 6.0 - ux / safe(uy)
+    r = jnp.where(cond_a, jnp.where(cond_b, ux, uy), jnp.where(cond_c, -ux, -uy))
+    phi = jnp.where(
+        cond_a, jnp.where(cond_b, phi_a1, phi_a2), jnp.where(cond_c, phi_b1, phi_b2)
+    ) * (PI * 0.25)
+    dx = jnp.cos(phi) * r
+    dy = jnp.sin(phi) * r
+    return jnp.where(zero, 0.0, dx), jnp.where(zero, 0.0, dy)
+
+
+def _cosine_hemisphere(u0, u1):
+    dx, dy = _concentric_disk(u0, u1)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - (dx * dx + dy * dy)))
+    return (dx, dy, z)
+
+
+def _uniform_sphere(u0, u1):
+    z = 1.0 - 2.0 * u0
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * PI * u1
+    return (r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+# ---------------------------------------------------------------------------
+# BSDF (ops/bsdf.py)
+# ---------------------------------------------------------------------------
+
+
+def _make_frame(norm, dpdu):
+    s = _vnormalize(dpdu)
+    t = _vcross(norm, s)
+    return (s, t, norm)
+
+
+def _w2l(f, v):
+    return (_vdot(v, f[0]), _vdot(v, f[1]), _vdot(v, f[2]))
+
+
+def _l2w(f, v):
+    return _vadd(
+        _vadd(_vscale(f[0], v[0]), _vscale(f[1], v[1])), _vscale(f[2], v[2])
+    )
+
+
+def _fresnel_conductor(cos_i, eta, k):
+    """Incl. the Rperp2 == 1 quirk (inc/material.h:36-45)."""
+    ci = jnp.abs(cos_i)
+    out = []
+    for j in range(3):
+        tmp0 = eta[j] * eta[j] + k[j] * k[j]
+        tmp1 = tmp0 * ci * ci
+        rparl2 = (tmp1 - 2.0 * eta[j] * ci + 1.0) / (
+            tmp1 + 2.0 * eta[j] * ci + 1.0
+        )
+        out.append((rparl2 + 1.0) * 0.5)
+    return tuple(out)
+
+
+def _fresnel_dielectric_eval(cos_i, fr_eta_i, fr_eta_t):
+    """fresnel_dielectric::operator() (inc/material.h:95-105)."""
+    ci = jnp.clip(cos_i, -1.0, 1.0)
+    entering = ci > 0.0
+    fr_eta_i = jnp.where(fr_eta_i == 0.0, 1.0, fr_eta_i)
+    fr_eta_t = jnp.where(fr_eta_t == 0.0, 1.0, fr_eta_t)
+    ei = jnp.where(entering, fr_eta_t, fr_eta_i)
+    et = jnp.where(entering, fr_eta_i, fr_eta_t)
+    sin_t = ei / et * _safe_sqrt(1.0 - ci * ci)
+    tir = sin_t >= 1.0
+    cos_t = _safe_sqrt(1.0 - sin_t * sin_t)
+    aci = jnp.abs(ci)
+    rparl = (et * aci - ei * cos_t) / (et * aci + ei * cos_t)
+    rperp = (ei * aci - et * cos_t) / (ei * aci + et * cos_t)
+    f = (rparl * rparl + rperp * rperp) * 0.5
+    return jnp.where(tir, 1.0, f)
+
+
+def _bsdf_sample(frame, mrows, wwo, u_select, u0, u1, non_specular_only):
+    """ops/bsdf.py::bsdf_sample in component form. Returns a dict with
+    f (3-tuple), wwi (3-tuple), pdf, is_specular."""
+    mtype = mrows["mtype"]
+    albedo = mrows["albedo"]
+    eta3 = mrows["eta"]
+    k3 = mrows["k"]
+    wo = _w2l(frame, wwo)
+    cos_wo = wo[2]
+
+    # lambert: cosine hemisphere flipped into wo's hemisphere
+    wi_d = _cosine_hemisphere(u0, u1)
+    flip = jnp.where(cos_wo < 0.0, -1.0, 1.0)
+    wi_d = (wi_d[0], wi_d[1], wi_d[2] * flip)
+    pdf_d = jnp.abs(wi_d[2]) * INV_PI
+    wwi_d = _l2w(frame, wi_d)
+    same_side_d = _vdot(wwi_d, frame[2]) * _vdot(wwo, frame[2]) > 0.0
+    f_d = _vwhere(same_side_d, _vscale(albedo, INV_PI), (0.0, 0.0, 0.0))
+
+    is_diffuse = mtype == MAT_DIFFUSE
+    if non_specular_only:
+        # only lambert matches types = all & ~specular (material.cpp:19-23)
+        zero3 = (jnp.zeros_like(cos_wo),) * 3
+        return {
+            "f": _vwhere(is_diffuse, f_d, zero3),
+            "wwi": _vwhere(is_diffuse, wwi_d, wwo),
+            "pdf": jnp.where(is_diffuse, pdf_d, 0.0),
+            "is_specular": jnp.zeros_like(is_diffuse),
+        }
+
+    # specular reflection (mirror / glass reflection half)
+    wi_r = (-wo[0], -wo[1], wo[2])
+    wwi_r = _l2w(frame, wi_r)
+    abs_cos_r = jnp.maximum(jnp.abs(wi_r[2]), 1e-20)
+    frc = _fresnel_conductor(cos_wo, eta3, k3)
+    f_mirror = tuple(frc[j] * albedo[j] / abs_cos_r for j in range(3))
+    ior = eta3[0]
+    fr_glass = _fresnel_dielectric_eval(cos_wo, jnp.ones_like(ior), ior)
+    f_glass_r = tuple(fr_glass * albedo[j] / abs_cos_r for j in range(3))
+
+    # specular transmission (inc/material.h:137-150)
+    def transmission(et_ctor, ei_ctor):
+        et_c = jnp.where(et_ctor == 0.0, 1.0, et_ctor)
+        ei_c = jnp.where(ei_ctor == 0.0, 1.0, ei_ctor)
+        entering = cos_wo > 0.0
+        ei = jnp.where(entering, et_c, ei_c)
+        et = jnp.where(entering, ei_c, et_c)
+        sin2_i = jnp.maximum(0.0, 1.0 - cos_wo * cos_wo)
+        eta = ei / et
+        sin2_t = eta * eta * sin2_i
+        tir = sin2_t >= 1.0
+        cos_t = _safe_sqrt(1.0 - sin2_t)
+        cos_t = jnp.where(entering, -cos_t, cos_t)
+        wi = (eta * -wo[0], eta * -wo[1], cos_t)
+        fr = _fresnel_dielectric_eval(cos_wo, et_c, ei_c)
+        scale = (et * et) / (ei * ei)
+        denom = jnp.maximum(jnp.abs(cos_t), 1e-20)
+        f = tuple(
+            jnp.where(tir, 0.0, scale * (1.0 - fr) * albedo[j] / denom)
+            for j in range(3)
+        )
+        return f, wi, ~tir
+
+    f_t_refract, wi_t_refract, ok_refract = transmission(eta3[0], eta3[1])
+    f_t_glass, wi_t_glass, ok_glass = transmission(jnp.ones_like(ior), ior)
+    wwi_t_refract = _l2w(frame, wi_t_refract)
+    wwi_t_glass = _l2w(frame, wi_t_glass)
+
+    is_mirror = mtype == MAT_MIRROR
+    is_refract = mtype == MAT_REFRACT
+    is_glass = mtype == MAT_GLASS
+
+    pick_refl = u_select < 0.5
+    f_glass = _vwhere(pick_refl, f_glass_r, f_t_glass)
+    wwi_glass = _vwhere(pick_refl, wwi_r, wwi_t_glass)
+    ok_glass_sel = pick_refl | ok_glass  # where(m, True, x) == m | x
+    pdf_glass = jnp.where(ok_glass_sel, 0.5, 0.0)
+
+    zero3 = (jnp.zeros_like(cos_wo),) * 3
+    f = _vwhere(
+        is_diffuse,
+        f_d,
+        _vwhere(
+            is_mirror,
+            f_mirror,
+            _vwhere(is_refract, f_t_refract, _vwhere(is_glass, f_glass, zero3)),
+        ),
+    )
+    wwi = _vwhere(
+        is_diffuse,
+        wwi_d,
+        _vwhere(
+            is_mirror,
+            wwi_r,
+            _vwhere(
+                is_refract, wwi_t_refract, _vwhere(is_glass, wwi_glass, wwo)
+            ),
+        ),
+    )
+    pdf = jnp.where(
+        is_diffuse,
+        pdf_d,
+        jnp.where(
+            is_mirror,
+            1.0,
+            jnp.where(
+                is_refract,
+                jnp.where(ok_refract, 1.0, 0.0),
+                jnp.where(is_glass, pdf_glass, 0.0),
+            ),
+        ),
+    )
+    return {
+        "f": f,
+        "wwi": wwi,
+        "pdf": pdf,
+        "is_specular": is_mirror | is_refract | is_glass,
+    }
+
+
+def _bsdf_F_nee(mtype, albedo, n_world, wwo, wwi):
+    same_side = _vdot(wwi, n_world) * _vdot(wwo, n_world) > 0.0
+    diffuse = (mtype == MAT_DIFFUSE) & same_side
+    return _vwhere(diffuse, _vscale(albedo, INV_PI), (0.0, 0.0, 0.0))
+
+
+def _bsdf_pdf_nee(frame, mtype, wwo, wwi):
+    wo = _w2l(frame, wwo)
+    wi = _w2l(frame, wwi)
+    same_hemi = wo[2] * wi[2] > 0.0
+    cos_pdf = jnp.where(same_hemi, jnp.abs(wi[2]) * INV_PI, 0.0)
+    return jnp.where(mtype == MAT_DIFFUSE, cos_pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# lights (ops/lights.py)
+# ---------------------------------------------------------------------------
+
+
+def _sample_surface(carrier, u0, u1, u_face, u_axis):
+    """ops/lights.py::sample_surface_rows in component form."""
+    ty = carrier["ptype"]
+    a, b, c = carrier["a"], carrier["b"], carrier["c"]
+
+    ns_s = _uniform_sphere(u0, u1)
+    ps_s = _vadd(a, _vscale(ns_s, b[0]))
+
+    # box: U = (u0, u_face, u1); snap axis mi to 0/1 face
+    U = (u0, u_face, u1)
+    mi = jnp.minimum((u_axis * 3.0).astype(jnp.int32), 2)
+    picked = jnp.where(mi == 0, U[0], jnp.where(mi == 1, U[1], U[2]))
+    snapped = jnp.where(picked > 0.5, 1.0, 0.0)
+    Uc = tuple(jnp.where(mi == j, snapped, U[j]) for j in range(3))
+    ps_b = _vadd(a, _vmul(Uc, _vsub(b, a)))
+    sgn_face = jnp.where(picked > 0.5, 1.0, -1.0)
+    ns_b = tuple(jnp.where(mi == j, sgn_face, 0.0) for j in range(3))
+
+    # triangle barycentric with w = 1-(u0+u1) (reference-faithful)
+    wz = 1.0 - (u0 + u1)
+    ps_t = _vadd(
+        _vadd(_vscale(a, u0), _vscale(b, u1)), _vscale(c, wz)
+    )
+    n0, n1, n2 = carrier["n0"], carrier["n1"], carrier["n2"]
+    ns_t = _vadd(
+        _vadd(_vscale(n0, u0), _vscale(n1, u1)), _vscale(n2, wz)
+    )
+
+    is_s = ty == PRIM_SPHERE
+    is_b = ty == PRIM_BOX
+    ps = _vwhere(is_s, ps_s, _vwhere(is_b, ps_b, ps_t))
+    ns = _vwhere(is_s, ns_s, _vwhere(is_b, ns_b, ns_t))
+    return ps, ns
+
+
+def _surface_pdf(carrier, p, wi, origin_distance_pdf):
+    """ops/lights.py::surface_pdf_rows in component form."""
+    t = _prim_t_perray(carrier, p, wi)
+    found = t < T_MAX
+    ts = jnp.where(found, t, 0.0)
+    hitp = _vadd(p, _vscale(wi, ts))
+    norm = _detail_norm(carrier, hitp, p, wi)
+    if origin_distance_pdf:
+        dist2 = _vdot(hitp, hitp)
+    else:
+        dist2 = ts * ts
+    denom = jnp.abs(_vdot(norm, _vneg(wi))) * carrier["area"]
+    pdf = dist2 / jnp.maximum(denom, 1e-20)
+    return jnp.where(found, pdf, 0.0)
+
+
+def _sample_light(lrows, carrier, p, u0, u1, u_face, u_axis, origin_pdf):
+    """ops/lights.py::sample_light_rows in component form."""
+    is_delta = lrows["ltype"] == LIGHT_POINT
+    l2p = _vsub(lrows["pos"], p)
+    len2 = jnp.maximum(_vdot(l2p, l2p), 1e-20)
+    inv_len = jax.lax.rsqrt(len2)
+    wi_p = _vscale(l2p, inv_len)
+    li_p = _vscale(lrows["intensity"], 1.0 / len2)
+
+    ps, ns = _sample_surface(carrier, u0, u1, u_face, u_axis)
+    wi_a = _vnormalize(_vsub(ps, p))
+    pdf_a = _surface_pdf(carrier, p, wi_a, origin_pdf)
+    front = _vdot(ns, _vneg(wi_a)) > 0.0
+    li_a = _vwhere(front, lrows["intensity"], (0.0, 0.0, 0.0))
+
+    return {
+        "Li": _vwhere(is_delta, li_p, li_a),
+        "wi": _vwhere(is_delta, wi_p, wi_a),
+        "pdf": jnp.where(is_delta, jnp.ones_like(len2), pdf_a),
+        "is_delta": is_delta,
+    }
+
+
+# ---------------------------------------------------------------------------
+# the megakernel
+# ---------------------------------------------------------------------------
+
+
+DBG_C = 12  # per-bounce debug channels (see _build_kernel debug=True)
+
+
+def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False):
+    """Kernel specialized on static table sizes + options. unroll=True
+    replaces the bounce fori_loop with a Python loop (static uniform
+    slices, no scf carry)."""
+    import jax.experimental.pallas as pl
+
+    mb = options.max_bounces
+    swapped_mis = options.swapped_light_mis_weight
+    shading_gate = options.shading_normal_le_gate
+    origin_pdf = options.origin_distance_pdf
+
+    def fetch(tbl, idx, spec):
+        """Fetch named columns (scalars or tuples) for per-ray row idx."""
+        flat_cols = []
+        for name, cols in spec.items():
+            flat_cols.extend(cols if isinstance(cols, tuple) else (cols,))
+        vals = _sel_rows(tbl, idx, flat_cols)
+        out, k = {}, 0
+        for name, cols in spec.items():
+            if isinstance(cols, tuple):
+                out[name] = tuple(vals[k : k + len(cols)])
+                k += len(cols)
+            else:
+                out[name] = vals[k]
+                k += 1
+        return out
+
+    def kernel(prim_ref, mat_ref, tex_ref, light_ref,
+               oxr, oyr, ozr, dxr, dyr, dzr, p0r, t0r, u_ref,
+               lxr, lyr, lzr, *dbg_refs):
+        o0 = (oxr[:, :], oyr[:, :], ozr[:, :])
+        d0 = (dxr[:, :], dyr[:, :], dzr[:, :])
+        prim0 = p0r[:, :]
+        t0 = t0r[:, :]
+        zero = jnp.zeros(TILE)
+        one = jnp.ones(TILE)
+
+        # preload EVERY table scalar once per program (loop-invariant; the
+        # bounce fori_loop body then touches VMEM only for uniforms)
+        prim_tbl = [tuple(prim_ref[k, c] for c in range(28)) for k in range(P)]
+        mat_tbl = [tuple(mat_ref[k, c] for c in range(11)) for k in range(M)]
+        tex_tbl = [tuple(tex_ref[k, c] for c in range(9)) for k in range(T)]
+        light_tbl = [tuple(light_ref[k, c] for c in range(8)) for k in range(L)]
+        prim_geo = [
+            (
+                prim_tbl[k][0].astype(jnp.int32),
+                (prim_tbl[k][1], prim_tbl[k][2], prim_tbl[k][3]),
+                (prim_tbl[k][4], prim_tbl[k][5], prim_tbl[k][6]),
+                (prim_tbl[k][7], prim_tbl[k][8], prim_tbl[k][9]),
+            )
+            for k in range(P)
+        ]
+
+        def u_at(i, j):
+            return u_ref[pl.ds(i * 12 + j, 1), :, :].reshape(TILE)
+
+        def body(i, carry):
+            # masks ride the carry as f32 0/1 — Mosaic rejects i1 vectors
+            # in scf loop carries; `found` is re-derived from t (miss=_BIG)
+            (o, d, T_, Lrad, prev_spec_f, alive_f, prim, t) = carry
+            prev_spec = prev_spec_f != 0.0
+            alive = alive_f != 0.0
+            found = t < T_MAX
+            u = [u_at(i, j) for j in range(12)]
+
+            rows = fetch(prim_tbl, prim, {
+                "ptype": 0, "a": (1, 2, 3), "b": (4, 5, 6), "c": (7, 8, 9),
+                "uv0": (19, 20), "uv1": (21, 22), "uv2": (23, 24),
+                "material": 25, "light": 26,
+            })
+            rows["ptype"] = rows["ptype"].astype(jnp.int32)
+            p, norm, uv, dpdu = _hit_detail(rows, o, d, t, found)
+            cur = alive & found
+            wwo = _vneg(d)
+            mid = rows["material"].astype(jnp.int32)
+            mrows = fetch(mat_tbl, mid, {
+                "mtype": 0, "color": (1, 2, 3), "tex": 4,
+                "eta": (5, 6, 7), "k": (8, 9, 10),
+            })
+            mrows["mtype"] = mrows["mtype"].astype(jnp.int32)
+            tid = jnp.maximum(mrows["tex"].astype(jnp.int32), 0)
+            trows = fetch(tex_tbl, tid, {
+                "ttype": 0, "c0": (1, 2, 3), "c1": (4, 5, 6),
+                "scale": 7, "line": 8,
+            })
+            albedo = _eval_albedo(mrows, trows, uv)
+            mrows["albedo"] = albedo
+            frame = _make_frame(norm, dpdu)
+
+            # emitted light at the vertex (first or post-specular only)
+            emit_gate = (i == 0) | prev_spec
+            lid_own = jnp.maximum(rows["light"].astype(jnp.int32), 0)
+            own = fetch(light_tbl, lid_own, {"intensity": (4, 5, 6)})
+            has_own = rows["light"] >= 0.0
+            le_gate0 = _vdot(norm, wwo) > 0.0
+            g = cur & emit_gate & has_own & le_gate0
+            Lrad = _vadd(Lrad, _vwhere(g, _vmul(T_, own["intensity"]),
+                                       (zero, zero, zero)))
+
+            # next-event estimation: pick one light uniformly
+            li = jnp.minimum(
+                jnp.floor(u[0] * num_lights).astype(jnp.int32), num_lights - 1
+            )
+            lrows = fetch(light_tbl, li, {
+                "ltype": 0, "pos": (1, 2, 3), "intensity": (4, 5, 6),
+                "prim": 7,
+            })
+            lrows["ltype"] = lrows["ltype"].astype(jnp.int32)
+            cid = jnp.maximum(lrows["prim"].astype(jnp.int32), 0)
+            carrier = fetch(prim_tbl, cid, {
+                "ptype": 0, "a": (1, 2, 3), "b": (4, 5, 6), "c": (7, 8, 9),
+                "n0": (10, 11, 12), "n1": (13, 14, 15), "n2": (16, 17, 18),
+                "area": 27,
+            })
+            carrier["ptype"] = carrier["ptype"].astype(jnp.int32)
+            ls = _sample_light(lrows, carrier, p, u[1], u[2], u[3], u[4],
+                               origin_pdf)
+            bs_nee = _bsdf_sample(frame, mrows, wwo, u[5], u[6], u[7],
+                                  non_specular_only=True)
+            bs = _bsdf_sample(frame, mrows, wwo, u[9], u[10], u[11],
+                              non_specular_only=False)
+
+            # three closest-hit queries (shadow | nee-bsdf | extension),
+            # all originating at the shading point
+            sf, sp_, _st = _closest(prim_geo, p, ls["wi"])
+            nf, np_, _nt = _closest(prim_geo, p, bs_nee["wwi"])
+            xf, xp, xt = _closest(prim_geo, p, bs["wwi"])
+            (s_light,) = _sel_rows(prim_tbl, sp_, (26,))
+            (n_light,) = _sel_rows(prim_tbl, np_, (26,))
+            s_hits = s_light.astype(jnp.int32) == li
+            n_hits = n_light.astype(jnp.int32) == li
+
+            # ---- NEE assembly (integrator.py::_nee_contributions) ----
+            f = _bsdf_F_nee(mrows["mtype"], albedo, norm, wwo, ls["wi"])
+            unoccl = (~sf) | ((~ls["is_delta"]) & s_hits)
+            b_pdf = _bsdf_pdf_nee(frame, mrows["mtype"], wwo, ls["wi"])
+            if swapped_mis:
+                w = _safe_div(b_pdf * b_pdf,
+                              b_pdf * b_pdf + ls["pdf"] * ls["pdf"])
+            else:
+                w = _safe_div(ls["pdf"] * ls["pdf"],
+                              b_pdf * b_pdf + ls["pdf"] * ls["pdf"])
+            w = jnp.where(ls["is_delta"], 1.0, w)
+            gate_l = (
+                (ls["pdf"] > 0.0)
+                & (_vdot(ls["Li"], ls["Li"]) > 0.0)
+                & (_vdot(f, f) > 0.0)
+                & unoccl
+            )
+            scale_l = jnp.abs(_vdot(ls["wi"], norm)) * w * _safe_div(
+                one, ls["pdf"]
+            )
+            contrib_l = _vwhere(
+                gate_l, _vscale(_vmul(f, ls["Li"]), scale_l),
+                (zero, zero, zero),
+            )
+
+            l_pdf2 = jnp.where(
+                lrows["ltype"] == 1,  # LIGHT_AREA
+                _surface_pdf(carrier, p, bs["wwi"], origin_pdf),
+                0.0,
+            )
+            w2 = _safe_div(bs["pdf"] * bs["pdf"],
+                           bs["pdf"] * bs["pdf"] + l_pdf2 * l_pdf2)
+            w2 = jnp.where(bs["is_specular"], 1.0, w2)
+            if shading_gate:
+                le_gate = _vdot(norm, _vneg(bs["wwi"])) > 0.0
+            else:
+                nrows = fetch(prim_tbl, np_, {
+                    "ptype": 0, "a": (1, 2, 3), "b": (4, 5, 6), "c": (7, 8, 9),
+                })
+                nrows["ptype"] = nrows["ptype"].astype(jnp.int32)
+                ts_n = jnp.where(nf, _nt, 0.0)
+                hp_n = _vadd(p, _vscale(bs["wwi"], ts_n))
+                nee_norm = _detail_norm(nrows, hp_n, p, bs["wwi"])
+                le_gate = _vdot(nee_norm, _vneg(bs["wwi"])) > 0.0
+            same_light = nf & n_hits
+            Li2 = _vwhere(same_light & le_gate, lrows["intensity"],
+                          (zero, zero, zero))
+            gate_b = (
+                (~ls["is_delta"])
+                & (_vdot(bs["f"], bs["f"]) > 0.0)
+                & (bs["pdf"] > 0.0)
+                & (bs["is_specular"] | (l_pdf2 != 0.0))
+                & nf
+                & (_vdot(Li2, Li2) > 0.0)
+            )
+            scale_b = jnp.abs(_vdot(bs["wwi"], norm)) * w2 * _safe_div(
+                one, bs["pdf"]
+            )
+            contrib_b = _vwhere(
+                gate_b, _vscale(_vmul(bs["f"], Li2), scale_b),
+                (zero, zero, zero),
+            )
+            Ld = _vadd(contrib_l, contrib_b)
+            Lrad = _vadd(
+                Lrad,
+                _vwhere(cur, _vscale(_vmul(T_, Ld), float(num_lights)),
+                        (zero, zero, zero)),
+            )
+
+            # throughput update + path termination
+            ok = (_vdot(bs["f"], bs["f"]) > 0.0) & (bs["pdf"] > 0.0)
+            alive_next = cur & ok & (i <= mb - 2)
+            tscale = jnp.abs(_vdot(bs["wwi"], norm)) * _safe_div(one, bs["pdf"])
+            T_next = _vscale(_vmul(T_, bs["f"]), tscale)
+            T_ = _vwhere(alive_next, T_next, T_)
+
+            if debug:
+                dbg = dbg_refs[0]
+                ch = [t, prim.astype(jnp.float32),
+                      jnp.maximum(jnp.maximum(T_[0], T_[1]), T_[2]),
+                      bs["pdf"], _vdot(bs["f"], bs["f"]),
+                      ls["pdf"], l_pdf2,
+                      Ld[0] + Ld[1] + Ld[2],
+                      jnp.where(cur, 1.0, 0.0),
+                      xt, xp.astype(jnp.float32),
+                      jnp.where(bs["is_specular"], 1.0, 0.0)]
+                for c, v in enumerate(ch):
+                    dbg[i * DBG_C + c, :, :] = v
+            return (p, bs["wwi"], T_, Lrad,
+                    jnp.where(bs["is_specular"], 1.0, 0.0),
+                    jnp.where(alive_next, 1.0, 0.0),
+                    xp, jnp.where(xf, xt, _BIG))
+
+        init = (o0, d0, (one, one, one), (zero, zero, zero), zero, one,
+                prim0, t0)
+        if unroll:
+            carry = init
+            for i in range(mb):
+                carry = body(i, carry)
+        else:
+            carry = jax.lax.fori_loop(0, mb, body, init)
+        Lrad = carry[3]
+        lxr[:, :] = Lrad[0]
+        lyr[:, :] = Lrad[1]
+        lzr[:, :] = Lrad[2]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("P", "M", "T", "L", "num_lights", "options",
+                              "interpret", "unroll", "debug")
+)
+def _megakernel_call(prim, mat, tex, light, ox, oy, oz, dx, dy, dz,
+                     prim0, t0, u, P, M, T, L, num_lights, options,
+                     interpret=False, unroll=False, debug=False):
+    import jax.experimental.pallas as pl
+
+    Bs = ox.shape[0]
+    mb = options.max_bounces
+    kernel = _build_kernel(P, M, T, L, num_lights, options, unroll=unroll,
+                           debug=debug)
+    ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
+    table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
+    u_spec = pl.BlockSpec((u.shape[0], 32, 128), lambda i: (0, i, 0))
+    out_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
+    out_specs = [out_spec] * 3
+    out_shape = [jax.ShapeDtypeStruct((Bs, 128), jnp.float32)] * 3
+    if debug:
+        out_specs.append(
+            pl.BlockSpec((mb * DBG_C, 32, 128), lambda i: (0, i, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((mb * DBG_C, Bs, 128), jnp.float32)
+        )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bs // 32,),
+        in_specs=[table_spec(prim), table_spec(mat), table_spec(tex),
+                  table_spec(light)]
+        + [ray_spec] * 8 + [u_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(prim, mat, tex, light, ox, oy, oz, dx, dy, dz, prim0, t0, u)
+    if debug:
+        return outs  # (lx, ly, lz, dbg)
+    return outs
+
+
+def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
+                     unroll: bool = False, debug: bool = False):
+    """Drop-in for render/integrator.py::ray_color on eligible scenes.
+
+    Draws the exact uniforms the XLA path would (one (B, 12) block per
+    bounce from fold_in(key, bounce)), computes the primary hit with the
+    standard backend-dispatched query, then runs every bounce in one
+    Pallas program.
+    """
+    from plutracer_tpu.ops import intersect
+    from plutracer_tpu.ops.tables import pack_tables
+
+    B = o.shape[0]
+    mb = options.max_bounces
+    num_lights = scene.light_type.shape[0]
+    tables = pack_tables(scene)
+
+    found0, prim0, t0 = intersect.query_lite(scene, o, d, options)
+    t0 = jnp.where(found0, t0, _BIG)
+
+    us = jnp.stack(
+        [
+            jax.random.uniform(jax.random.fold_in(key, i), (B, 12))
+            for i in range(mb)
+        ]
+    )  # (mb, B, 12)
+
+    B_pad = -(-B // RAY_TILE) * RAY_TILE
+    pad = B_pad - B
+    Bs = B_pad // 128
+
+    def comp(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(Bs, 128)
+
+    ox, oy, oz = comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2])
+    dx, dy, dz = (
+        comp(d[:, 0], 1.0), comp(d[:, 1], 1.0), comp(d[:, 2], 1.0),
+    )
+    p0 = comp(prim0.astype(jnp.float32)).astype(jnp.int32)
+    t0r = comp(t0, _BIG)
+    u = (
+        jnp.pad(
+            us.transpose(0, 2, 1).reshape(mb * 12, B), ((0, 0), (0, pad))
+        ).reshape(mb * 12, Bs, 128)
+    )
+
+    P = tables.prim.shape[0]
+    M = tables.mat.shape[0]
+    T = tables.tex.shape[0]
+    L = tables.light.shape[0]
+    res = _megakernel_call(
+        tables.prim, tables.mat, tables.tex, tables.light,
+        ox, oy, oz, dx, dy, dz, p0, t0r, u,
+        P=P, M=M, T=T, L=L, num_lights=num_lights, options=options,
+        interpret=interpret, unroll=unroll, debug=debug,
+    )
+    lx, ly, lz = res[0], res[1], res[2]
+    out = jnp.stack(
+        [lx.reshape(-1)[:B], ly.reshape(-1)[:B], lz.reshape(-1)[:B]], -1
+    )
+    if debug:
+        from plutracer_tpu.ops.pallas.integrator_kernel import DBG_C as _C
+        dbg = res[3].reshape(mb, _C, B_pad)[:, :, :B]
+        return out, dbg
+    return out

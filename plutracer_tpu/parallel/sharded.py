@@ -144,6 +144,7 @@ def make_train_step(
     options: RenderOptions = DEFAULT_OPTIONS,
     loss_space: str = "ab",
     trainable=DIFFERENTIABLE_FIELDS,
+    grad_mask: Optional[Dict[str, Any]] = None,
 ):
     """Build a jitted, sharded inverse-rendering step.
 
@@ -165,11 +166,17 @@ def make_train_step(
     - "log": MSE of log1p radiances (bounded dynamic range, but Jensen- and
       variance-biased; useful for very high-dynamic-range emissive scenes).
     trainable: parameter fields to update (others get zero gradients).
+    grad_mask: optional per-entry 0/1 mask (same field names/shapes as the
+      params, broadcastable) multiplied into the gradients — e.g. freeze
+      the mirror/glass rows of mat_color while fitting the diffuse walls.
     """
     import optax
 
     if optimizer is None:
         optimizer = optax.adam(1e-2)
+    # gradients flow through the bounce scan: the Pallas integrator
+    # megakernel has no AD rule, so pin the XLA path here
+    options = options.replace(integrator_backend="xla")
     d_tiles = mesh.shape["tiles"]
     px_pad, n_px = _pad_to(np.asarray(pixel_centers(width, height)), d_tiles)
     target_spec = P("tiles")
@@ -203,6 +210,11 @@ def make_train_step(
             f: (g if f in trainable else jnp.zeros_like(g))
             for f, g in grads.items()
         }
+        if grad_mask is not None:
+            grads = {
+                f: (g * grad_mask[f] if f in grad_mask else g)
+                for f, g in grads.items()
+            }
         loss = jax.lax.psum(loss, "tiles")
         grads = jax.lax.psum(grads, "tiles")
         # spp axis shards independent strata of the same estimator: average

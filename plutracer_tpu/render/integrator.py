@@ -147,6 +147,31 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
     )
 
 
+def _resolve_integrator_backend(scene, options) -> str:
+    """auto = Pallas megakernel on TPU for qualifying scenes, XLA else.
+
+    The megakernel (ops/pallas/integrator_kernel.py) runs the whole bounce
+    loop in one program with all per-ray state in VMEM — the XLA scan path
+    is HBM-bandwidth-bound at ~900 fusions/bounce (PERF.md)."""
+    from plutracer_tpu.ops.pallas.integrator_kernel import megakernel_eligible
+
+    backend = getattr(options, "integrator_backend", "auto")
+    if backend == "auto":
+        import jax
+
+        if jax.default_backend() != "cpu" and megakernel_eligible(
+            scene, options
+        ):
+            return "pallas"
+        return "xla"
+    if backend == "pallas" and not megakernel_eligible(scene, options):
+        raise ValueError(
+            "integrator_backend='pallas' forced but the scene exceeds the "
+            "megakernel's static limits (see megakernel_eligible)"
+        )
+    return backend
+
+
 def ray_color(
     scene,
     o,
@@ -155,6 +180,10 @@ def ray_color(
     options: RenderOptions = DEFAULT_OPTIONS,
 ):
     """Radiance for a batch of primary rays. o, d: (B,3). Returns (B,3)."""
+    if _resolve_integrator_backend(scene, options) == "pallas":
+        from plutracer_tpu.ops.pallas.integrator_kernel import ray_color_pallas
+
+        return ray_color_pallas(scene, o, d, key, options)
     B = o.shape[0]
     num_lights = scene.light_type.shape[0]
     tables = pack_tables(scene)

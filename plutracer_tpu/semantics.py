@@ -95,6 +95,15 @@ class RenderOptions:
     # "xla" | "pallas" | "bvh" force a specific path (all agree exactly).
     intersect_backend: str = "auto"
 
+    # --- execution backend for the whole bounce loop ---
+    # "auto": the Pallas integrator megakernel on TPU when the scene
+    # qualifies (small tables, no image textures — see
+    # ops/pallas/integrator_kernel.megakernel_eligible), XLA elsewhere;
+    # "xla" forces the reference scan path (required under jax.grad — the
+    # megakernel has no AD rule; make_train_step pins it); "pallas" forces
+    # the megakernel (raises if the scene does not qualify).
+    integrator_backend: str = "auto"
+
     def replace(self, **kw) -> "RenderOptions":
         return dataclasses.replace(self, **kw)
 
