@@ -865,41 +865,44 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False):
                 (zero, zero, zero),
             )
 
+            # BSDF-strategy uses the NEE sample bs_nee (the XLA path passes
+            # bs_nee into _nee_contributions, integrator.py:259); the
+            # extension sample bs only drives the throughput update below.
             l_pdf2 = jnp.where(
                 lrows["ltype"] == 1,  # LIGHT_AREA
-                _surface_pdf(carrier, p, bs["wwi"], origin_pdf),
+                _surface_pdf(carrier, p, bs_nee["wwi"], origin_pdf),
                 0.0,
             )
-            w2 = _safe_div(bs["pdf"] * bs["pdf"],
-                           bs["pdf"] * bs["pdf"] + l_pdf2 * l_pdf2)
-            w2 = jnp.where(bs["is_specular"], 1.0, w2)
+            w2 = _safe_div(bs_nee["pdf"] * bs_nee["pdf"],
+                           bs_nee["pdf"] * bs_nee["pdf"] + l_pdf2 * l_pdf2)
+            w2 = jnp.where(bs_nee["is_specular"], 1.0, w2)
             if shading_gate:
-                le_gate = _vdot(norm, _vneg(bs["wwi"])) > 0.0
+                le_gate = _vdot(norm, _vneg(bs_nee["wwi"])) > 0.0
             else:
                 nrows = fetch(prim_tbl, np_, {
                     "ptype": 0, "a": (1, 2, 3), "b": (4, 5, 6), "c": (7, 8, 9),
                 })
                 nrows["ptype"] = nrows["ptype"].astype(jnp.int32)
                 ts_n = jnp.where(nf, _nt, 0.0)
-                hp_n = _vadd(p, _vscale(bs["wwi"], ts_n))
-                nee_norm = _detail_norm(nrows, hp_n, p, bs["wwi"])
-                le_gate = _vdot(nee_norm, _vneg(bs["wwi"])) > 0.0
+                hp_n = _vadd(p, _vscale(bs_nee["wwi"], ts_n))
+                nee_norm = _detail_norm(nrows, hp_n, p, bs_nee["wwi"])
+                le_gate = _vdot(nee_norm, _vneg(bs_nee["wwi"])) > 0.0
             same_light = nf & n_hits
             Li2 = _vwhere(same_light & le_gate, lrows["intensity"],
                           (zero, zero, zero))
             gate_b = (
                 (~ls["is_delta"])
-                & (_vdot(bs["f"], bs["f"]) > 0.0)
-                & (bs["pdf"] > 0.0)
-                & (bs["is_specular"] | (l_pdf2 != 0.0))
+                & (_vdot(bs_nee["f"], bs_nee["f"]) > 0.0)
+                & (bs_nee["pdf"] > 0.0)
+                & (bs_nee["is_specular"] | (l_pdf2 != 0.0))
                 & nf
                 & (_vdot(Li2, Li2) > 0.0)
             )
-            scale_b = jnp.abs(_vdot(bs["wwi"], norm)) * w2 * _safe_div(
-                one, bs["pdf"]
+            scale_b = jnp.abs(_vdot(bs_nee["wwi"], norm)) * w2 * _safe_div(
+                one, bs_nee["pdf"]
             )
             contrib_b = _vwhere(
-                gate_b, _vscale(_vmul(bs["f"], Li2), scale_b),
+                gate_b, _vscale(_vmul(bs_nee["f"], Li2), scale_b),
                 (zero, zero, zero),
             )
             Ld = _vadd(contrib_l, contrib_b)
