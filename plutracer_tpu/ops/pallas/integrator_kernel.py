@@ -42,16 +42,20 @@ from plutracer_tpu.scene.types import (
     MAT_REFRACT,
     PRIM_BOX,
     PRIM_SPHERE,
+    PRIM_TRIANGLE,
     TEX_CHECKERBOARD,
 )
 
 RAY_TILE = 4096  # rays per program: (32, 128)
 TILE = (32, 128)
 
-# static eligibility caps: every table must fit VMEM and the unrolled
-# per-row select chains / intersection loops must stay small. All
-# BASELINE.md configs except the 1283-prim mesh scene qualify.
+# static eligibility caps. Scenes with at most MAX_P primitives use the
+# fully-unrolled kernel (every table row preloaded as scalars, closest-hit
+# unrolled); scenes up to MAX_P_STREAM use the STREAMING kernel (fori_loop
+# over Morton-ordered chunks with cluster-AABB whole-tile culling — program
+# size O(1) in P, table VMEM ~P*128*4 B). M/T/L stay select-chain sized.
 MAX_P = 64
+MAX_P_STREAM = 16384
 MAX_M = 16
 MAX_T = 8
 MAX_L = 8
@@ -64,12 +68,131 @@ def megakernel_eligible(scene, options) -> bool:
     """Static qualification (shapes only — safe under jit tracing)."""
     return (
         getattr(scene, "prims_packed", None) is not None
-        and scene.prim_type.shape[0] <= MAX_P
+        and (
+            scene.prim_type.shape[0] <= MAX_P
+            or getattr(scene, "prims_mega", None) is not None
+        )
+        and scene.prim_type.shape[0] <= MAX_P_STREAM
         and scene.mat_type.shape[0] <= MAX_M
         and scene.tex_type.shape[0] <= MAX_T
         and 1 <= scene.light_type.shape[0] <= MAX_L
         and scene.atlas.shape[0] <= 1  # no image textures
         and getattr(options, "dtype", "float32") == "float32"
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-kernel packing (numpy, runs once at scene-compile time)
+# ---------------------------------------------------------------------------
+
+PCHUNK = 8  # primitive rows per streamed chunk (= f32 sublane tile)
+
+
+def _morton3(x: "np.ndarray") -> "np.ndarray":
+    """30-bit Morton codes for (N, 3) points normalized to [0, 1)."""
+    import numpy as np
+
+    q = np.clip((x * 1024.0).astype(np.int64), 0, 1023)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+MEGA_W = 40  # 0:28 = tables.pack_tables prim layout; 32:35 cluster AABB
+# min, 35:38 cluster AABB max (per-chunk, duplicated into every row of the
+# chunk so ONE aligned (PCHUNK, MEGA_W) load serves both cull and
+# intersection). VMEM pads the lane dim to 128 regardless, so the extra
+# width is free.
+
+
+def pack_mega_np(scene):
+    """Build the MegaPack (see scene/types.py) in pure numpy.
+
+    Per type: gather the full prim rows (tables.pack_tables layout),
+    Morton-sort by centroid (tight per-chunk cluster AABBs), pad to a
+    PCHUNK multiple with never-hit rows, and stamp per-chunk cluster
+    AABBs (over the REAL rows only) into cols 32:38. scene.light_prim is
+    remapped into the concatenated [sphere | box | tri] index space."""
+    import numpy as np
+
+    from plutracer_tpu.scene.types import MegaPack
+
+    ptype = np.asarray(scene.prim_type, np.int32)
+    P = ptype.shape[0]
+    rows = np.zeros((P, MEGA_W), np.float32)
+    rows[:, 0] = ptype
+    rows[:, 1:4] = np.asarray(scene.prim_a, np.float32)
+    rows[:, 4:7] = np.asarray(scene.prim_b, np.float32)
+    rows[:, 7:10] = np.asarray(scene.prim_c, np.float32)
+    rows[:, 10:13] = np.asarray(scene.prim_n0, np.float32)
+    rows[:, 13:16] = np.asarray(scene.prim_n1, np.float32)
+    rows[:, 16:19] = np.asarray(scene.prim_n2, np.float32)
+    rows[:, 19:21] = np.asarray(scene.prim_uv0, np.float32)
+    rows[:, 21:23] = np.asarray(scene.prim_uv1, np.float32)
+    rows[:, 23:25] = np.asarray(scene.prim_uv2, np.float32)
+    rows[:, 25] = np.asarray(scene.prim_material, np.float32)
+    rows[:, 26] = np.asarray(scene.prim_light, np.float32)
+    rows[:, 27] = np.asarray(scene.prim_area, np.float32)
+
+    a, b, c = rows[:, 1:4], rows[:, 4:7], rows[:, 7:10]
+    r = b[:, 0:1]
+    # per-prim AABB (min, max) by type
+    lo = np.where(
+        (ptype == PRIM_SPHERE)[:, None], a - r,
+        np.where((ptype == PRIM_BOX)[:, None], a, np.minimum(np.minimum(a, b), c)),
+    )
+    hi = np.where(
+        (ptype == PRIM_SPHERE)[:, None], a + r,
+        np.where((ptype == PRIM_BOX)[:, None], b, np.maximum(np.maximum(a, b), c)),
+    )
+    cen = (lo + hi) * 0.5
+    span = np.maximum(cen.max(0) - cen.min(0), 1e-9)
+    codes = _morton3((cen - cen.min(0)) / span)
+
+    new_index = np.zeros(P, np.int64)
+    tbls = []
+    offset = 0
+    for t in (PRIM_SPHERE, PRIM_BOX, PRIM_TRIANGLE):
+        (idx,) = np.nonzero(ptype == t)
+        idx = idx[np.argsort(codes[idx], kind="stable")]
+        n = idx.size
+        n_pad = -(-max(n, 1) // PCHUNK) * PCHUNK if n else 0
+        tbl = np.zeros((n_pad, MEGA_W), np.float32)
+        if n:
+            tbl[:n] = rows[idx]
+            new_index[idx] = offset + np.arange(n)
+            # never-hit padding (see intersect_kernel.pack_prims_np notes)
+            tbl[n:, 0] = t
+            if t == PRIM_SPHERE:
+                tbl[n:, 1] = 1.0e30
+            elif t == PRIM_BOX:
+                tbl[n:, 1:4] = 1.0e30
+                tbl[n:, 4:7] = 2.0e30
+            tbl[n:, 26] = -1.0
+            tbl[n:, 27] = 1.0
+            plo, phi = lo[idx], hi[idx]
+            for ci in range(n_pad // PCHUNK):
+                s, e = ci * PCHUNK, min((ci + 1) * PCHUNK, n)
+                if s < n:
+                    tbl[ci * PCHUNK : (ci + 1) * PCHUNK, 32:35] = plo[s:e].min(0)
+                    tbl[ci * PCHUNK : (ci + 1) * PCHUNK, 35:38] = phi[s:e].max(0)
+                else:  # all-padding chunk: empty AABB never hits
+                    tbl[ci * PCHUNK : (ci + 1) * PCHUNK, 32:35] = 1.0e30
+                    tbl[ci * PCHUNK : (ci + 1) * PCHUNK, 35:38] = -1.0e30
+        tbls.append(tbl)
+        offset += n_pad
+
+    lp = np.asarray(scene.light_prim, np.int32)
+    light_prim = np.where(lp >= 0, new_index[np.clip(lp, 0, max(P - 1, 0))], -1)
+    return MegaPack(
+        sph=tbls[0], box=tbls[1], tri=tbls[2],
+        light_prim=light_prim.astype(np.int32),
     )
 
 
@@ -708,6 +831,32 @@ def _sample_light(lrows, carrier, p, u0, u1, u_face, u_axis, origin_pdf):
 DBG_C = 12  # per-bounce debug channels (see _build_kernel debug=True)
 
 
+def _spec_to_dict(spec, vals):
+    """Regroup a flat column-value list by a {name: col | (cols...)} spec."""
+    out, k = {}, 0
+    for name, cols in spec.items():
+        if isinstance(cols, tuple):
+            out[name] = tuple(vals[k : k + len(cols)])
+            k += len(cols)
+        else:
+            out[name] = vals[k]
+            k += 1
+    return out
+
+
+def _spec_cols(spec):
+    flat_cols = []
+    for name, cols in spec.items():
+        flat_cols.extend(cols if isinstance(cols, tuple) else (cols,))
+    return flat_cols
+
+
+def _fetch_from(tbl, idx, spec):
+    """Fetch named columns (scalars or tuples) for per-ray row idx from a
+    PRE-LOADED scalar-row table (list of per-row column tuples)."""
+    return _spec_to_dict(spec, _sel_rows(tbl, idx, _spec_cols(spec)))
+
+
 def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False):
     """Kernel specialized on static table sizes + options. unroll=True
     replaces the bounce fori_loop with a Python loop (static uniform
@@ -719,21 +868,7 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False):
     shading_gate = options.shading_normal_le_gate
     origin_pdf = options.origin_distance_pdf
 
-    def fetch(tbl, idx, spec):
-        """Fetch named columns (scalars or tuples) for per-ray row idx."""
-        flat_cols = []
-        for name, cols in spec.items():
-            flat_cols.extend(cols if isinstance(cols, tuple) else (cols,))
-        vals = _sel_rows(tbl, idx, flat_cols)
-        out, k = {}, 0
-        for name, cols in spec.items():
-            if isinstance(cols, tuple):
-                out[name] = tuple(vals[k : k + len(cols)])
-                k += len(cols)
-            else:
-                out[name] = vals[k]
-                k += 1
-        return out
+    fetch = _fetch_from
 
     def kernel(prim_ref, mat_ref, tex_ref, light_ref,
                oxr, oyr, ozr, dxr, dyr, dzr, p0r, t0r, u_ref,
@@ -993,14 +1128,419 @@ def _megakernel_call(prim, mat, tex, light, ox, oy, oz, dx, dy, dz,
     return outs
 
 
+# ---------------------------------------------------------------------------
+# the STREAMING megakernel: P beyond the unrolled kernel's cap
+# ---------------------------------------------------------------------------
+#
+# Same physics/semantics as _build_kernel, but the primitive tables are
+# walked with a fori_loop over PCHUNK-row chunks (program size stays O(1)
+# in P instead of O(P) unrolled code) and each chunk can be skipped for the
+# whole (32, 128) ray tile when no lane's ray enters the chunk's cluster
+# AABB with t below its current best (MegaPack rows are Morton-ordered, so
+# chunks are spatially tight). Attribute lookups by per-lane winner id
+# stream the same chunks with masked selects.
+
+
+def _cluster_hit(chunk, o, rinv, bt):
+    """Cluster-AABB slab test (cols 32:38 of any chunk row) vs all lanes,
+    bounded by the running best t."""
+    t1x, t2x = (chunk[0, 32] - o[0]) * rinv[0], (chunk[0, 35] - o[0]) * rinv[0]
+    t1y, t2y = (chunk[0, 33] - o[1]) * rinv[1], (chunk[0, 36] - o[1]) * rinv[1]
+    t1z, t2z = (chunk[0, 34] - o[2]) * rinv[2], (chunk[0, 37] - o[2]) * rinv[2]
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    return (tmax >= tmin) & (tmax >= 0.0) & (tmin < bt)
+
+
+def _closest_stream(tbls, o, d, cull=True, live=None):
+    """Brute-force closest hit streaming the per-type chunked tables.
+    tbls: [(ptype, ref, offset)] with offset the table's base in the
+    concatenated winner-id space. `live` masks lanes whose result matters
+    (dead lanes carry stale rays that would otherwise defeat the cull).
+    Returns (found, prim, t)."""
+    import jax.experimental.pallas as pl
+
+    best_t = jnp.full(TILE, _BIG)
+    best_p = jnp.zeros(TILE, jnp.int32)
+    rinv = tuple(1.0 / jnp.where(c == 0.0, 1e-20, c) for c in d)
+
+    for ty, ref, off in tbls:
+        nch = ref.shape[0] // PCHUNK
+
+        def body(ci, carry, ty=ty, ref=ref, off=off):
+            bt, bp = carry
+            base = pl.multiple_of(ci * PCHUNK, PCHUNK)
+            chunk = ref[pl.ds(base, PCHUNK), :]
+
+            def work(carry):
+                bt, bp = carry
+                for k in range(PCHUNK):
+                    a = (chunk[k, 1], chunk[k, 2], chunk[k, 3])
+                    b = (chunk[k, 4], chunk[k, 5], chunk[k, 6])
+                    if ty == PRIM_SPHERE:
+                        tk = _sphere_t_row(o, d, a, b[0])
+                    elif ty == PRIM_BOX:
+                        tk = _box_t_row(o, d, a, b)
+                    else:
+                        c = (chunk[k, 7], chunk[k, 8], chunk[k, 9])
+                        tk = _tri_t_row(o, d, a, b, c)
+                    better = tk < bt
+                    bt = jnp.where(better, tk, bt)
+                    bp = jnp.where(better, off + base + k, bp)
+                return bt, bp
+
+            if cull:
+                hit = _cluster_hit(chunk, o, rinv, bt)
+                if live is not None:
+                    hit = hit & live
+                return jax.lax.cond(jnp.any(hit), work, lambda c_: c_, (bt, bp))
+            return work((bt, bp))
+
+        best_t, best_p = jax.lax.fori_loop(0, nch, body, (best_t, best_p))
+    return best_t < T_MAX, best_p, best_t
+
+
+def _fetch_stream(tbls, idx, spec):
+    """fetch() by per-lane winner id against the chunked tables: stream
+    every chunk, masked-select the matching rows' columns.
+
+    Deliberately NO whole-tile chunk skipping here: a lax.cond carrying
+    the ~15 output arrays lowers to per-chunk copies of the whole carry
+    (measured 100x slower on mesh0); the unconditional masked select chain
+    is bandwidth-trivial VPU work."""
+    import jax.experimental.pallas as pl
+
+    cols = _spec_cols(spec)
+    outs = tuple(jnp.zeros(TILE) for _ in cols)
+    for ty, ref, off in tbls:
+        nch = ref.shape[0] // PCHUNK
+
+        def body(ci, outs, ref=ref, off=off):
+            base = pl.multiple_of(ci * PCHUNK, PCHUNK)
+            chunk = ref[pl.ds(base, PCHUNK), :]
+            local = idx - (off + base)
+            for k in range(PCHUNK):
+                m = local == k
+                outs = tuple(
+                    jnp.where(m, chunk[k, c], ov) for c, ov in zip(cols, outs)
+                )
+            return outs
+
+        outs = jax.lax.fori_loop(0, nch, body, outs)
+    return _spec_to_dict(spec, list(outs))
+
+
+def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
+    """Streaming-kernel builder. shapes: ((Psph, Pbox, Ptri)) static row
+    counts of the MegaPack tables (0 = table absent, not passed)."""
+    import jax.experimental.pallas as pl
+
+    mb = options.max_bounces
+    swapped_mis = options.swapped_light_mis_weight
+    shading_gate = options.shading_normal_le_gate
+    origin_pdf = options.origin_distance_pdf
+    fetch = _fetch_from
+
+    Psph, Pbox, Ptri = shapes
+    type_info = []  # (ptype, ref argument position, offset)
+    off = 0
+    for ty, n in ((PRIM_SPHERE, Psph), (PRIM_BOX, Pbox),
+                  (PRIM_TRIANGLE, Ptri)):
+        if n:
+            type_info.append((ty, len(type_info), off))
+            off += n
+
+    def kernel(*refs):
+        ntab = len(type_info)
+        prim_refs = refs[:ntab]
+        mat_ref, tex_ref, light_ref = refs[ntab : ntab + 3]
+        oxr, oyr, ozr, dxr, dyr, dzr, u_ref = refs[ntab + 3 : ntab + 10]
+        lxr, lyr, lzr = refs[ntab + 10 : ntab + 13]
+        dbg_refs = refs[ntab + 13 :]
+
+        tbls = [(ty, prim_refs[pos], toff) for ty, pos, toff in type_info]
+        o0 = (oxr[:, :], oyr[:, :], ozr[:, :])
+        d0 = (dxr[:, :], dyr[:, :], dzr[:, :])
+        zero = jnp.zeros(TILE)
+        one = jnp.ones(TILE)
+
+        # small tables preloaded as scalar rows (loop-invariant)
+        mat_tbl = [tuple(mat_ref[k, c] for c in range(11)) for k in range(M)]
+        tex_tbl = [tuple(tex_ref[k, c] for c in range(9)) for k in range(T)]
+        light_tbl = [tuple(light_ref[k, c] for c in range(8)) for k in range(L)]
+
+        # per-light carrier rows: light col 7 holds the REMAPPED prim id
+        # (MegaPack.light_prim); one dynamic row read per light per table,
+        # range-selected across tables. L is small, this runs once.
+        carrier_tbl = []
+        for l in range(L):
+            cid = jnp.maximum(light_tbl[l][7].astype(jnp.int32), 0)
+            vals = None
+            for ty, pos, toff in type_info:
+                ref = prim_refs[pos]
+                n = ref.shape[0]
+                loc = jnp.clip(cid - toff, 0, n - 1)
+                row = ref[pl.ds(loc, 1), :]
+                sc = tuple(row[0, c] for c in range(28))
+                if vals is None:
+                    vals = sc
+                else:
+                    inr = (cid >= toff) & (cid < toff + n)
+                    vals = tuple(jnp.where(inr, s, v) for s, v in zip(sc, vals))
+            carrier_tbl.append(vals)
+
+        def u_at(i, j):
+            return u_ref[pl.ds(i * 12 + j, 1), :, :].reshape(TILE)
+
+        # primary hit in-kernel (the unrolled kernel takes it as an input;
+        # here one more streamed query is cheaper than a separate dispatch)
+        f0, prim0, t0 = _closest_stream(tbls, o0, d0)
+        t0 = jnp.where(f0, t0, _BIG)
+
+        def body(i, carry):
+            (o, d, T_, Lrad, prev_spec_f, alive_f, prim, t) = carry
+            prev_spec = prev_spec_f != 0.0
+            alive = alive_f != 0.0
+            found = t < T_MAX
+            u = [u_at(i, j) for j in range(12)]
+
+            rows = _fetch_stream(tbls, prim, {
+                "ptype": 0, "a": (1, 2, 3), "b": (4, 5, 6), "c": (7, 8, 9),
+                "uv0": (19, 20), "uv1": (21, 22), "uv2": (23, 24),
+                "material": 25, "light": 26,
+            })
+            rows["ptype"] = rows["ptype"].astype(jnp.int32)
+            p, norm, uv, dpdu = _hit_detail(rows, o, d, t, found)
+            cur = alive & found
+            wwo = _vneg(d)
+            mid = rows["material"].astype(jnp.int32)
+            mrows = fetch(mat_tbl, mid, {
+                "mtype": 0, "color": (1, 2, 3), "tex": 4,
+                "eta": (5, 6, 7), "k": (8, 9, 10),
+            })
+            mrows["mtype"] = mrows["mtype"].astype(jnp.int32)
+            tid = jnp.maximum(mrows["tex"].astype(jnp.int32), 0)
+            trows = fetch(tex_tbl, tid, {
+                "ttype": 0, "c0": (1, 2, 3), "c1": (4, 5, 6),
+                "scale": 7, "line": 8,
+            })
+            albedo = _eval_albedo(mrows, trows, uv)
+            mrows["albedo"] = albedo
+            frame = _make_frame(norm, dpdu)
+
+            # emitted light at the vertex (first or post-specular only)
+            emit_gate = (i == 0) | prev_spec
+            lid_own = jnp.maximum(rows["light"].astype(jnp.int32), 0)
+            own = fetch(light_tbl, lid_own, {"intensity": (4, 5, 6)})
+            has_own = rows["light"] >= 0.0
+            le_gate0 = _vdot(norm, wwo) > 0.0
+            g = cur & emit_gate & has_own & le_gate0
+            Lrad = _vadd(Lrad, _vwhere(g, _vmul(T_, own["intensity"]),
+                                       (zero, zero, zero)))
+
+            # next-event estimation: pick one light uniformly
+            li = jnp.minimum(
+                jnp.floor(u[0] * num_lights).astype(jnp.int32), num_lights - 1
+            )
+            lrows = fetch(light_tbl, li, {
+                "ltype": 0, "pos": (1, 2, 3), "intensity": (4, 5, 6),
+                "prim": 7,
+            })
+            lrows["ltype"] = lrows["ltype"].astype(jnp.int32)
+            carrier = fetch(carrier_tbl, li, {
+                "ptype": 0, "a": (1, 2, 3), "b": (4, 5, 6), "c": (7, 8, 9),
+                "n0": (10, 11, 12), "n1": (13, 14, 15), "n2": (16, 17, 18),
+                "area": 27,
+            })
+            carrier["ptype"] = carrier["ptype"].astype(jnp.int32)
+            ls = _sample_light(lrows, carrier, p, u[1], u[2], u[3], u[4],
+                               origin_pdf)
+            bs_nee = _bsdf_sample(frame, mrows, wwo, u[5], u[6], u[7],
+                                  non_specular_only=True)
+            bs = _bsdf_sample(frame, mrows, wwo, u[9], u[10], u[11],
+                              non_specular_only=False)
+
+            # three closest-hit queries (shadow | nee-bsdf | extension),
+            # live-masked so dead lanes' stale rays don't defeat the cull
+            import os
+            _mode = os.environ.get("PLU_STREAM_CULL", "live")
+            _cull = _mode != "none"
+            _live = cur if _mode == "live" else None
+            sf, sp_, _st = _closest_stream(tbls, p, ls["wi"], cull=_cull,
+                                           live=_live)
+            nf, np_, _nt = _closest_stream(tbls, p, bs_nee["wwi"], cull=_cull,
+                                           live=_live)
+            xf, xp, xt = _closest_stream(tbls, p, bs["wwi"], cull=_cull,
+                                         live=_live)
+            svals = _fetch_stream(tbls, sp_, {"light": 26})
+            nvals = _fetch_stream(tbls, np_, {"light": 26})
+            s_hits = svals["light"].astype(jnp.int32) == li
+            n_hits = nvals["light"].astype(jnp.int32) == li
+
+            # ---- NEE assembly (identical to _build_kernel; bs_nee is the
+            # BSDF-strategy sample, bs only drives the extension) ----
+            f = _bsdf_F_nee(mrows["mtype"], albedo, norm, wwo, ls["wi"])
+            unoccl = (~sf) | ((~ls["is_delta"]) & s_hits)
+            b_pdf = _bsdf_pdf_nee(frame, mrows["mtype"], wwo, ls["wi"])
+            if swapped_mis:
+                w = _safe_div(b_pdf * b_pdf,
+                              b_pdf * b_pdf + ls["pdf"] * ls["pdf"])
+            else:
+                w = _safe_div(ls["pdf"] * ls["pdf"],
+                              b_pdf * b_pdf + ls["pdf"] * ls["pdf"])
+            w = jnp.where(ls["is_delta"], 1.0, w)
+            gate_l = (
+                (ls["pdf"] > 0.0)
+                & (_vdot(ls["Li"], ls["Li"]) > 0.0)
+                & (_vdot(f, f) > 0.0)
+                & unoccl
+            )
+            scale_l = jnp.abs(_vdot(ls["wi"], norm)) * w * _safe_div(
+                one, ls["pdf"]
+            )
+            contrib_l = _vwhere(
+                gate_l, _vscale(_vmul(f, ls["Li"]), scale_l),
+                (zero, zero, zero),
+            )
+
+            l_pdf2 = jnp.where(
+                lrows["ltype"] == 1,  # LIGHT_AREA
+                _surface_pdf(carrier, p, bs_nee["wwi"], origin_pdf),
+                0.0,
+            )
+            w2 = _safe_div(bs_nee["pdf"] * bs_nee["pdf"],
+                           bs_nee["pdf"] * bs_nee["pdf"] + l_pdf2 * l_pdf2)
+            w2 = jnp.where(bs_nee["is_specular"], 1.0, w2)
+            if shading_gate:
+                le_gate = _vdot(norm, _vneg(bs_nee["wwi"])) > 0.0
+            else:
+                nrows = _fetch_stream(tbls, np_, {
+                    "ptype": 0, "a": (1, 2, 3), "b": (4, 5, 6), "c": (7, 8, 9),
+                })
+                nrows["ptype"] = nrows["ptype"].astype(jnp.int32)
+                ts_n = jnp.where(nf, _nt, 0.0)
+                hp_n = _vadd(p, _vscale(bs_nee["wwi"], ts_n))
+                nee_norm = _detail_norm(nrows, hp_n, p, bs_nee["wwi"])
+                le_gate = _vdot(nee_norm, _vneg(bs_nee["wwi"])) > 0.0
+            same_light = nf & n_hits
+            Li2 = _vwhere(same_light & le_gate, lrows["intensity"],
+                          (zero, zero, zero))
+            gate_b = (
+                (~ls["is_delta"])
+                & (_vdot(bs_nee["f"], bs_nee["f"]) > 0.0)
+                & (bs_nee["pdf"] > 0.0)
+                & (bs_nee["is_specular"] | (l_pdf2 != 0.0))
+                & nf
+                & (_vdot(Li2, Li2) > 0.0)
+            )
+            scale_b = jnp.abs(_vdot(bs_nee["wwi"], norm)) * w2 * _safe_div(
+                one, bs_nee["pdf"]
+            )
+            contrib_b = _vwhere(
+                gate_b, _vscale(_vmul(bs_nee["f"], Li2), scale_b),
+                (zero, zero, zero),
+            )
+            Ld = _vadd(contrib_l, contrib_b)
+            Lrad = _vadd(
+                Lrad,
+                _vwhere(cur, _vscale(_vmul(T_, Ld), float(num_lights)),
+                        (zero, zero, zero)),
+            )
+
+            # throughput update + path termination
+            ok = (_vdot(bs["f"], bs["f"]) > 0.0) & (bs["pdf"] > 0.0)
+            alive_next = cur & ok & (i <= mb - 2)
+            tscale = jnp.abs(_vdot(bs["wwi"], norm)) * _safe_div(one, bs["pdf"])
+            T_next = _vscale(_vmul(T_, bs["f"]), tscale)
+            T_ = _vwhere(alive_next, T_next, T_)
+
+            if debug:
+                dbg = dbg_refs[0]
+                ch = [t, prim.astype(jnp.float32),
+                      jnp.maximum(jnp.maximum(T_[0], T_[1]), T_[2]),
+                      bs["pdf"], _vdot(bs["f"], bs["f"]),
+                      ls["pdf"], l_pdf2,
+                      Ld[0] + Ld[1] + Ld[2],
+                      jnp.where(cur, 1.0, 0.0),
+                      xt, xp.astype(jnp.float32),
+                      jnp.where(bs["is_specular"], 1.0, 0.0)]
+                for c, v in enumerate(ch):
+                    dbg[i * DBG_C + c, :, :] = v
+            return (p, bs["wwi"], T_, Lrad,
+                    jnp.where(bs["is_specular"], 1.0, 0.0),
+                    jnp.where(alive_next, 1.0, 0.0),
+                    xp, jnp.where(xf, xt, _BIG))
+
+        init = (o0, d0, (one, one, one), (zero, zero, zero), zero, one,
+                prim0, t0)
+        carry = jax.lax.fori_loop(0, mb, body, init)
+        Lrad = carry[3]
+        lxr[:, :] = Lrad[0]
+        lyr[:, :] = Lrad[1]
+        lzr[:, :] = Lrad[2]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("M", "T", "L", "num_lights", "options",
+                              "interpret", "debug")
+)
+def _megakernel_call_stream(prim_tbls, mat, tex, light, ox, oy, oz,
+                            dx, dy, dz, u, M, T, L, num_lights, options,
+                            interpret=False, debug=False):
+    import jax.experimental.pallas as pl
+
+    Bs = ox.shape[0]
+    mb = options.max_bounces
+    shapes = tuple(
+        t.shape[0] if t is not None and t.shape[0] else 0 for t in prim_tbls
+    )
+    present = [t for t in prim_tbls if t is not None and t.shape[0]]
+    kernel = _build_kernel_stream(shapes, M, T, L, num_lights, options,
+                                  debug=debug)
+    ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
+    table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
+    u_spec = pl.BlockSpec((u.shape[0], 32, 128), lambda i: (0, i, 0))
+    out_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
+    out_specs = [out_spec] * 3
+    out_shape = [jax.ShapeDtypeStruct((Bs, 128), jnp.float32)] * 3
+    if debug:
+        out_specs.append(
+            pl.BlockSpec((mb * DBG_C, 32, 128), lambda i: (0, i, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((mb * DBG_C, Bs, 128), jnp.float32)
+        )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bs // 32,),
+        in_specs=[table_spec(t) for t in present]
+        + [table_spec(mat), table_spec(tex), table_spec(light)]
+        + [ray_spec] * 6 + [u_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*present, mat, tex, light, ox, oy, oz, dx, dy, dz, u)
+    return outs
+
+
 def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
                      unroll: bool = False, debug: bool = False):
     """Drop-in for render/integrator.py::ray_color on eligible scenes.
 
     Draws the exact uniforms the XLA path would (one (B, 12) block per
-    bounce from fold_in(key, bounce)), computes the primary hit with the
-    standard backend-dispatched query, then runs every bounce in one
-    Pallas program.
+    bounce from fold_in(key, bounce)), then runs every bounce in one
+    Pallas program. Scenes up to MAX_P primitives use the fully-unrolled
+    kernel (primary hit computed with the standard backend-dispatched
+    query); larger scenes use the STREAMING kernel over the MegaPack
+    tables (primary hit in-kernel).
     """
     from plutracer_tpu.ops import intersect
     from plutracer_tpu.ops.tables import pack_tables
@@ -1009,9 +1549,11 @@ def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
     mb = options.max_bounces
     num_lights = scene.light_type.shape[0]
     tables = pack_tables(scene)
-
-    found0, prim0, t0 = intersect.query_lite(scene, o, d, options)
-    t0 = jnp.where(found0, t0, _BIG)
+    P = tables.prim.shape[0]
+    M = tables.mat.shape[0]
+    T = tables.tex.shape[0]
+    L = tables.light.shape[0]
+    stream = P > MAX_P
 
     us = jnp.stack(
         [
@@ -1031,24 +1573,39 @@ def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
     dx, dy, dz = (
         comp(d[:, 0], 1.0), comp(d[:, 1], 1.0), comp(d[:, 2], 1.0),
     )
-    p0 = comp(prim0.astype(jnp.float32)).astype(jnp.int32)
-    t0r = comp(t0, _BIG)
     u = (
         jnp.pad(
             us.transpose(0, 2, 1).reshape(mb * 12, B), ((0, 0), (0, pad))
         ).reshape(mb * 12, Bs, 128)
     )
 
-    P = tables.prim.shape[0]
-    M = tables.mat.shape[0]
-    T = tables.tex.shape[0]
-    L = tables.light.shape[0]
-    res = _megakernel_call(
-        tables.prim, tables.mat, tables.tex, tables.light,
-        ox, oy, oz, dx, dy, dz, p0, t0r, u,
-        P=P, M=M, T=T, L=L, num_lights=num_lights, options=options,
-        interpret=interpret, unroll=unroll, debug=debug,
-    )
+    if stream:
+        mega = scene.prims_mega
+        # the kernel reads the carrier prim id from light col 7: remap it
+        # into the MegaPack's permuted index space
+        light_tbl = tables.light.at[:, 7].set(
+            mega.light_prim.astype(jnp.float32)
+        )
+        prim_tbls = tuple(
+            t if t.shape[0] else None for t in (mega.sph, mega.box, mega.tri)
+        )
+        res = _megakernel_call_stream(
+            prim_tbls, tables.mat, tables.tex, light_tbl,
+            ox, oy, oz, dx, dy, dz, u,
+            M=M, T=T, L=L, num_lights=num_lights, options=options,
+            interpret=interpret, debug=debug,
+        )
+    else:
+        found0, prim0, t0 = intersect.query_lite(scene, o, d, options)
+        t0 = jnp.where(found0, t0, _BIG)
+        p0 = comp(prim0.astype(jnp.float32)).astype(jnp.int32)
+        t0r = comp(t0, _BIG)
+        res = _megakernel_call(
+            tables.prim, tables.mat, tables.tex, tables.light,
+            ox, oy, oz, dx, dy, dz, p0, t0r, u,
+            P=P, M=M, T=T, L=L, num_lights=num_lights, options=options,
+            interpret=interpret, unroll=unroll, debug=debug,
+        )
     lx, ly, lz = res[0], res[1], res[2]
     out = jnp.stack(
         [lx.reshape(-1)[:B], ly.reshape(-1)[:B], lz.reshape(-1)[:B]], -1

@@ -29,6 +29,8 @@ per batch, folded with the bounce index.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -172,6 +174,55 @@ def _resolve_integrator_backend(scene, options) -> str:
     return backend
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ray_color_pallas_ad(options, scene, o, d, key):
+    """Megakernel forward with an XLA-recompute backward.
+
+    The Pallas kernel has no AD rule; this wrapper makes jax.grad through
+    the default TPU path *correct* (the backward re-runs the XLA
+    integrator's VJP with the same key, so gradients are exactly the XLA
+    path's — both paths draw identical uniforms). Forward-only callers pay
+    nothing; gradient callers pay one extra (fast) Pallas forward on top
+    of the XLA fwd+bwd they would have paid anyway. Training loops that
+    never need the Pallas forward should still pin
+    integrator_backend='xla' (parallel/sharded.make_train_step does)."""
+    from plutracer_tpu.ops.pallas.integrator_kernel import ray_color_pallas
+
+    return ray_color_pallas(
+        scene, o, d, key, options,
+        interpret=getattr(options, "pallas_interpret", False),
+    )
+
+
+def _ray_color_pallas_fwd(options, scene, o, d, key):
+    from plutracer_tpu.ops.pallas.integrator_kernel import ray_color_pallas
+
+    out = ray_color_pallas(
+        scene, o, d, key, options,
+        interpret=getattr(options, "pallas_interpret", False),
+    )
+    return out, (scene, o, d, key)
+
+
+def _ray_color_pallas_bwd(options, res, ct):
+    scene, o, d, key = res
+    xla_options = options.replace(integrator_backend="xla")
+
+    def f(scene, o, d):
+        return ray_color(scene, o, d, key, xla_options)
+
+    _, vjp = jax.vjp(f, scene, o, d)
+    d_scene, d_o, d_d = vjp(ct)
+    # key is a PRNG/integer input: its cotangent type is float0
+    import numpy as np
+
+    d_key = np.zeros(key.shape, dtype=jax.dtypes.float0)
+    return d_scene, d_o, d_d, d_key
+
+
+_ray_color_pallas_ad.defvjp(_ray_color_pallas_fwd, _ray_color_pallas_bwd)
+
+
 def ray_color(
     scene,
     o,
@@ -181,9 +232,7 @@ def ray_color(
 ):
     """Radiance for a batch of primary rays. o, d: (B,3). Returns (B,3)."""
     if _resolve_integrator_backend(scene, options) == "pallas":
-        from plutracer_tpu.ops.pallas.integrator_kernel import ray_color_pallas
-
-        return ray_color_pallas(scene, o, d, key, options)
+        return _ray_color_pallas_ad(options, scene, o, d, key)
     B = o.shape[0]
     num_lights = scene.light_type.shape[0]
     tables = pack_tables(scene)

@@ -186,10 +186,14 @@ def compile_scene(
         import dataclasses as _dc
 
         from plutracer_tpu.ops.bvh import build_bvh
+        from plutracer_tpu.ops.pallas.integrator_kernel import pack_mega_np
         from plutracer_tpu.ops.pallas.intersect_kernel import pack_prims_np
 
         scene = _dc.replace(
-            scene, bvh=build_bvh(scene), prims_packed=pack_prims_np(scene)
+            scene,
+            bvh=build_bvh(scene),
+            prims_packed=pack_prims_np(scene),
+            prims_mega=pack_mega_np(scene),
         )
     _assert_finite(scene)
     import jax

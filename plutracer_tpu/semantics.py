@@ -99,10 +99,15 @@ class RenderOptions:
     # "auto": the Pallas integrator megakernel on TPU when the scene
     # qualifies (small tables, no image textures — see
     # ops/pallas/integrator_kernel.megakernel_eligible), XLA elsewhere;
-    # "xla" forces the reference scan path (required under jax.grad — the
-    # megakernel has no AD rule; make_train_step pins it); "pallas" forces
-    # the megakernel (raises if the scene does not qualify).
+    # "xla" forces the reference scan path; "pallas" forces the megakernel
+    # (raises if the scene does not qualify). jax.grad works through every
+    # backend: the megakernel path carries a custom_vjp whose backward
+    # re-runs the XLA integrator's VJP (integrator._ray_color_pallas_ad);
+    # training loops that never consume the Pallas forward should still
+    # pin "xla" to skip the extra forward (make_train_step does).
     integrator_backend: str = "auto"
+    # run Pallas kernels in interpret mode (tests on CPU; never on TPU)
+    pallas_interpret: bool = False
 
     def replace(self, **kw) -> "RenderOptions":
         return dataclasses.replace(self, **kw)

@@ -79,6 +79,16 @@ QUICK_CONFIGS = [
     ("minimal0.urn", 128, 128, 8),
     ("cornell-box.urn", 128, 128, 10),
 ]
+# BASELINE.md target configs (full-scale): run with --baseline. At these
+# spp the oracle self-noise shrinks ~1/sqrt(spp), so the same NOISE_FACTOR
+# yields much sharper bounds than the 128^2 gate above. On a TPU host our
+# render goes through the Pallas megakernel (the default TPU path).
+BASELINE_CONFIGS = [
+    ("cornell-box.urn", 512, 512, 32),  # 1024 spp
+    ("room.urn", 512, 512, 16),  # 256 spp
+    ("glass0.urn", 256, 256, 12),  # 144 spp (>=128 target)
+    ("refrac0.urn", 256, 256, 12),
+]
 
 
 def build_oracle() -> pathlib.Path:
@@ -180,25 +190,44 @@ def format_table(results) -> str:
     return "\n".join(lines)
 
 
-def update_md(results) -> None:
+def update_md(results, baseline: bool = False) -> None:
     md = REPO / "PARITY.md"
     text = md.read_text() if md.exists() else "# Component parity map\n"
-    marker = "\n## Measured render parity vs the reference binary\n"
-    head = text.split(marker)[0].rstrip() + "\n"
-    body = (
-        marker
-        + "\nGate: `python tools/parity.py` (methodology in its docstring —"
-        "\noracle self-noise-calibrated statistical bounds on tonemapped u8"
-        "\npixels, watermark rows masked). Latest recorded run:\n\n"
-        + format_table(results)
-        + "\n"
-    )
-    md.write_text(head + body)
+    std_marker = "\n## Measured render parity vs the reference binary\n"
+    base_marker = "\n## Measured render parity at BASELINE configs\n"
+    # split out both sections, preserve the one not being updated
+    head, _, rest = text.partition(std_marker)
+    std_body, _, base_body = rest.partition(base_marker)
+    if baseline:
+        import jax
+
+        base_body = (
+            "\nGate: `python tools/parity.py --baseline` — BASELINE.md "
+            "full-scale\nconfigs, same statistical methodology; our render "
+            f"ran on the `{jax.default_backend()}` backend\n(on TPU that is "
+            "the Pallas integrator megakernel for every config below).\n\n"
+            + format_table(results)
+            + "\n"
+        )
+    else:
+        std_body = (
+            "\nGate: `python tools/parity.py` (methodology in its docstring —"
+            "\noracle self-noise-calibrated statistical bounds on tonemapped u8"
+            "\npixels, watermark rows masked). Latest recorded run:\n\n"
+            + format_table(results)
+            + "\n"
+        )
+    out = head.rstrip() + "\n" + std_marker + std_body
+    if base_body.strip():
+        out += base_marker + base_body
+    md.write_text(out)
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="2-scene smoke subset")
+    ap.add_argument("--baseline", action="store_true",
+                    help="BASELINE.md full-scale configs (slow oracle runs)")
     ap.add_argument("--update-md", action="store_true", help="record results in PARITY.md")
     args = ap.parse_args(argv)
 
@@ -207,7 +236,8 @@ def main(argv=None) -> int:
     plutracer_tpu.enable_compilation_cache()
     build_oracle()
 
-    configs = QUICK_CONFIGS if args.quick else CONFIGS
+    configs = (BASELINE_CONFIGS if args.baseline
+               else QUICK_CONFIGS if args.quick else CONFIGS)
     results = []
     ok = True
     for scene, w, h, smp in configs:
@@ -223,7 +253,7 @@ def main(argv=None) -> int:
             flush=True,
         )
     if args.update_md:
-        update_md(results)
+        update_md(results, baseline=args.baseline)
         print("PARITY.md updated")
     return 0 if ok else 1
 
