@@ -32,9 +32,11 @@ SCN = "/root/reference/scenes"
 def bench_scene(name, path, w, h, passes=16, chunk=8, n=4):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from plutracer_tpu.render.renderer import render_passes, zeros_accum
+    from plutracer_tpu.render.renderer import render, render_passes, zeros_accum
     from plutracer_tpu.scene import compile_scene, load_scene_file
+    from plutracer_tpu.semantics import DEFAULT_OPTIONS
     from plutracer_tpu.utils.profiling import RenderStats
 
     desc = load_scene_file(path, ["/res", f"{w}x{h}"])
@@ -57,7 +59,37 @@ def bench_scene(name, path, w, h, passes=16, chunk=8, n=4):
         acc = render_passes(scene, key, jnp.int32(s), w, h, n, chunk, accum=acc)
     float(acc.sum())
     stats = RenderStats(w, h, passes, time.perf_counter() - t0)
-    return stats
+
+    # --- validation: a fast benchmark that renders garbage is worthless.
+    # (a) the timed accumulator must be finite; (b) a small same-seed
+    # render through the default path must agree with the forced-XLA
+    # integrator (catches a wrong-but-fast kernel; tolerances cover the
+    # documented dielectric knife-edge lane flips).
+    accn = np.asarray(acc)
+    validated = bool(np.isfinite(accn).all())
+    vkey = jax.random.PRNGKey(7)
+    sv = compile_scene(load_scene_file(path, ["/res", "64x64"]))
+    img_auto = np.asarray(render(sv, 64, 64, 2, vkey))
+    img_xla = np.asarray(
+        render(sv, 64, 64, 2, vkey,
+               options=DEFAULT_OPTIONS.replace(integrator_backend="xla"))
+    )
+    a = np.log1p(np.maximum(img_auto, 0.0))
+    b = np.log1p(np.maximum(img_xla, 0.0))
+    validated &= bool(np.isfinite(img_auto).all())
+    validated &= abs(float(a.mean()) - float(b.mean())) < 0.02
+    validated &= float((np.abs(a - b) > 1e-3).mean()) < 0.02
+    return stats, validated, scene.prim_type.shape[0]
+
+
+# FLOP-per-sample model (PERF.md): ~25 kFLOP of shading/NEE/RNG per sample
+# plus up to 25 closest-hit queries x P primitive tests (~50 FLOP each).
+SHADING_FLOP = 25_000.0
+VPU_F32_FLOPS = 3.0e12  # estimated v5e VPU f32 ceiling (PERF.md roofline)
+
+
+def flops_per_sample(P: int) -> float:
+    return SHADING_FLOP + 25.0 * P * 50.0
 
 
 def main() -> None:
@@ -84,7 +116,7 @@ def main() -> None:
 
     changed = False
     for key, path, w, h in configs:
-        stats = bench_scene(key, path, w, h)
+        stats, validated, P = bench_scene(key, path, w, h)
         sps = stats.samples_per_sec
         bkey = f"{key}_samples_per_sec"
         if bkey not in base:
@@ -95,6 +127,8 @@ def main() -> None:
             "value": round(sps, 1),
             "unit": "samples/s",
             "vs_baseline": round(sps / base[bkey], 3),
+            "validated": validated,
+            "mfu_pct": round(100.0 * sps * flops_per_sample(P) / VPU_F32_FLOPS, 2),
         }
         print(json.dumps(line), flush=True)
 

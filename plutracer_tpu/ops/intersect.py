@@ -184,14 +184,27 @@ def query_lite(scene, o, d, options):
 
         import jax
 
-        found, prim, t = intersect_lite_pallas(scene, o, d, scene.prims_packed)
+        # stop_gradient the ray INPUTS too, not just t: pallas_call has no
+        # usable JVP rule, and under value_and_grad even a symbolically-
+        # nonzero input tangent invokes it (crashes with a pallas
+        # axis_frame assertion). The winner (found, prim) is discrete and
+        # t is recomputed differentiably downstream (query_closest).
+        found, prim, t = intersect_lite_pallas(
+            scene,
+            jax.lax.stop_gradient(o),
+            jax.lax.stop_gradient(d),
+            scene.prims_packed,
+        )
         return found, prim, jax.lax.stop_gradient(t)
     if backend == "bvh" and scene.bvh is not None:
         from plutracer_tpu.ops.bvh import bvh_closest
 
         import jax
 
-        found, prim, t = bvh_closest(scene, scene.bvh, o, d)
+        found, prim, t = bvh_closest(
+            scene, scene.bvh,
+            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+        )
         return found, prim, jax.lax.stop_gradient(t)
     return intersect_lite(scene, o, d)
 

@@ -1206,6 +1206,124 @@ def _closest_stream(tbls, o, d, cull=True, live=None):
     return best_t < T_MAX, best_p, best_t
 
 
+def _closest_stream3(tbls, o, d1, d2, d3, cull=True, live=None):
+    """Three closest-hit queries sharing ONE stream over the tables.
+
+    All three rays originate at the same shading point `o` (shadow,
+    NEE-BSDF and extension rays all leave the current vertex —
+    renderer.cpp:16,41,86), so per-row origin-dependent subexpressions
+    (tv = o - a, qv = tv x e1, v.v for spheres) are computed once and
+    shared across the three directions, and every chunk's scalar
+    loads/broadcasts are amortized 3x. Returns three (found, prim, t)."""
+    import jax.experimental.pallas as pl
+
+    ds = (d1, d2, d3)
+    bts = [jnp.full(TILE, _BIG) for _ in range(3)]
+    bps = [jnp.zeros(TILE, jnp.int32) for _ in range(3)]
+    rinvs = [tuple(1.0 / jnp.where(c == 0.0, 1e-20, c) for c in d)
+             for d in ds]
+
+    for ty, ref, off in tbls:
+        nch = ref.shape[0] // PCHUNK
+
+        def body(ci, carry, ty=ty, ref=ref, off=off):
+            bt1, bt2, bt3, bp1, bp2, bp3 = carry
+            bts = [bt1, bt2, bt3]
+            bps = [bp1, bp2, bp3]
+            base = pl.multiple_of(ci * PCHUNK, PCHUNK)
+            chunk = ref[pl.ds(base, PCHUNK), :]
+
+            def work(carry):
+                bt1, bt2, bt3, bp1, bp2, bp3 = carry
+                bts = [bt1, bt2, bt3]
+                bps = [bp1, bp2, bp3]
+                for k in range(PCHUNK):
+                    a = (chunk[k, 1], chunk[k, 2], chunk[k, 3])
+                    b = (chunk[k, 4], chunk[k, 5], chunk[k, 6])
+                    if ty == PRIM_SPHERE:
+                        v = _vsub(o, a)
+                        vv = _vdot(v, v)
+                        r2 = b[0] * b[0]
+                        for q in range(3):
+                            qb = -_vdot(v, ds[q])
+                            det = qb * qb - vv + r2
+                            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+                            i1 = qb - sq
+                            i2 = qb + sq
+                            tk = jnp.where(
+                                (det >= 0.0) & (i1 > 0.0) & (i2 > 0.0),
+                                i1, _BIG)
+                            better = tk < bts[q]
+                            bts[q] = jnp.where(better, tk, bts[q])
+                            bps[q] = jnp.where(better, off + base + k, bps[q])
+                    elif ty == PRIM_BOX:
+                        ao = _vsub(a, o)
+                        bo = _vsub(b, o)
+                        for q in range(3):
+                            ri = rinvs[q]
+                            t1x, t2x = ao[0] * ri[0], bo[0] * ri[0]
+                            t1y, t2y = ao[1] * ri[1], bo[1] * ri[1]
+                            t1z, t2z = ao[2] * ri[2], bo[2] * ri[2]
+                            tmin = jnp.maximum(
+                                jnp.maximum(jnp.minimum(t1x, t2x),
+                                            jnp.minimum(t1y, t2y)),
+                                jnp.minimum(t1z, t2z))
+                            tmax = jnp.minimum(
+                                jnp.minimum(jnp.maximum(t1x, t2x),
+                                            jnp.maximum(t1y, t2y)),
+                                jnp.maximum(t1z, t2z))
+                            tk = jnp.where((tmax >= tmin) & (tmin >= 0.0),
+                                           tmin, _BIG)
+                            better = tk < bts[q]
+                            bts[q] = jnp.where(better, tk, bts[q])
+                            bps[q] = jnp.where(better, off + base + k, bps[q])
+                    else:
+                        c = (chunk[k, 7], chunk[k, 8], chunk[k, 9])
+                        e1 = _vsub(b, a)
+                        e2 = _vsub(c, a)
+                        tv = _vsub(o, a)
+                        qv = _vcross(tv, e1)
+                        e2qv = _vdot(e2, qv)
+                        for q in range(3):
+                            d = ds[q]
+                            pv = _vcross(d, e2)
+                            det = _vdot(e1, pv)
+                            idet = 1.0 / jnp.where(det == 0.0, 1.0, det)
+                            u = _vdot(tv, pv) * idet
+                            vq = _vdot(d, qv) * idet
+                            t = e2qv * idet
+                            ok = (
+                                (det != 0.0)
+                                & (u >= 0.0)
+                                & (u <= 1.0)
+                                & (vq >= 0.0)
+                                & (u + vq <= 1.0)
+                                & (t > 0.0)
+                            )
+                            tk = jnp.where(ok, t, _BIG)
+                            better = tk < bts[q]
+                            bts[q] = jnp.where(better, tk, bts[q])
+                            bps[q] = jnp.where(better, off + base + k, bps[q])
+                return (bts[0], bts[1], bts[2], bps[0], bps[1], bps[2])
+
+            if cull:
+                hit = (_cluster_hit(chunk, o, rinvs[0], bts[0])
+                       | _cluster_hit(chunk, o, rinvs[1], bts[1])
+                       | _cluster_hit(chunk, o, rinvs[2], bts[2]))
+                if live is not None:
+                    hit = hit & live
+                return jax.lax.cond(jnp.any(hit), work, lambda c_: c_,
+                                    tuple(bts) + tuple(bps))
+            return work(tuple(bts) + tuple(bps))
+
+        out = jax.lax.fori_loop(
+            0, nch, body, (bts[0], bts[1], bts[2], bps[0], bps[1], bps[2])
+        )
+        bts = [out[0], out[1], out[2]]
+        bps = [out[3], out[4], out[5]]
+    return tuple((bts[q] < T_MAX, bps[q], bts[q]) for q in range(3))
+
+
 def _fetch_stream(tbls, idx, spec):
     """fetch() by per-lane winner id against the chunked tables: stream
     every chunk, masked-select the matching rows' columns.
@@ -1366,18 +1484,12 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
             bs = _bsdf_sample(frame, mrows, wwo, u[9], u[10], u[11],
                               non_specular_only=False)
 
-            # three closest-hit queries (shadow | nee-bsdf | extension),
-            # live-masked so dead lanes' stale rays don't defeat the cull
-            import os
-            _mode = os.environ.get("PLU_STREAM_CULL", "live")
-            _cull = _mode != "none"
-            _live = cur if _mode == "live" else None
-            sf, sp_, _st = _closest_stream(tbls, p, ls["wi"], cull=_cull,
-                                           live=_live)
-            nf, np_, _nt = _closest_stream(tbls, p, bs_nee["wwi"], cull=_cull,
-                                           live=_live)
-            xf, xp, xt = _closest_stream(tbls, p, bs["wwi"], cull=_cull,
-                                         live=_live)
+            # three closest-hit queries (shadow | nee-bsdf | extension) in
+            # ONE shared stream over the tables, live-masked so dead
+            # lanes' stale rays don't defeat the cull
+            (sf, sp_, _st), (nf, np_, _nt), (xf, xp, xt) = _closest_stream3(
+                tbls, p, ls["wi"], bs_nee["wwi"], bs["wwi"], live=cur
+            )
             svals = _fetch_stream(tbls, sp_, {"light": 26})
             nvals = _fetch_stream(tbls, np_, {"light": 26})
             s_hits = svals["light"].astype(jnp.int32) == li

@@ -93,9 +93,10 @@ def render_sharded(
 
         # the loop body's output is varying over both mesh axes (rays over
         # `tiles`, strata/keys over `spp`), so the init carry must be too
-        acc0 = jax.lax.pcast(
-            jnp.zeros((px_local.shape[0], 3)), ("tiles", "spp"), to="varying"
-        )
+        # (only meaningful while the vma check is enabled — see below)
+        acc0 = jnp.zeros((px_local.shape[0], 3))
+        if jax.default_backend() == "cpu":
+            acc0 = jax.lax.pcast(acc0, ("tiles", "spp"), to="varying")
         acc = jax.lax.fori_loop(0, local_strata, body, acc0)
         return jax.lax.psum(acc, "spp")
 
@@ -105,6 +106,10 @@ def render_sharded(
             mesh=mesh,
             in_specs=(P("tiles"), P("spp")),
             out_specs=P("tiles"),
+            # pallas_call (the intersect/integrator kernels on TPU) has no
+            # vma annotations on its out_shapes, so the vma check must be
+            # off there; the CPU-mesh tests run the XLA paths and keep it
+            check_vma=jax.default_backend() == "cpu",
         )
     )(px_pad, strata_pad)
     if jax.process_count() > 1:
@@ -206,13 +211,24 @@ def make_train_step(
             return _compare(c, target_local)
 
         loss, grads = jax.value_and_grad(local_loss)(params)
+        # sanitize: the path-tracing backward can emit non-finite lanes on
+        # degenerate deep-specular paths (observed on TPU at max_bounces=8:
+        # isolated rays whose extension-chain backward overflows; the same
+        # graph is finite on CPU). These are firefly-class outliers — a
+        # single NaN would otherwise poison the whole psum and kill the
+        # optimization, so zero them (standard MC-gradient practice).
+        grads = {f: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+                 for f, g in grads.items()}
         grads = {
             f: (g if f in trainable else jnp.zeros_like(g))
             for f, g in grads.items()
         }
         if grad_mask is not None:
+            # where(), not multiply: masked entries must become 0 even if
+            # the unmasked gradient were non-finite
             grads = {
-                f: (g * grad_mask[f] if f in grad_mask else g)
+                f: (jnp.where(grad_mask[f] > 0, g, 0.0) if f in grad_mask
+                    else g)
                 for f, g in grads.items()
             }
         loss = jax.lax.psum(loss, "tiles")
@@ -227,6 +243,9 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P("tiles"), target_spec, P(), P()),
         out_specs=(P(), P()),
+        # see render_sharded: the Pallas intersect kernel's out_shapes
+        # carry no vma annotations on TPU
+        check_vma=jax.default_backend() == "cpu",
     )
 
     @jax.jit

@@ -58,6 +58,10 @@ def main(argv=None):
     ap.add_argument("--target-n", type=int, default=16,
                     help="stratified grid for the target render (spp=n^2)")
     ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--n", type=int, default=2,
+                    help="stratified grid per optimization step (spp = n^2 "
+                         "per estimator pass; higher = less MC gradient "
+                         "noise per step)")
     ap.add_argument("--lr-albedo", type=float, default=3e-2)
     ap.add_argument("--lr-emission", type=float, default=20.0,
                     help="initial adam lr for light_intensity (O(500) "
@@ -142,7 +146,7 @@ def main(argv=None):
               f"emission_rel={rec['emission_rel_err']:.4f}", flush=True)
 
     cfg = InverseRenderConfig(
-        width=W, height=H, n=2, steps=args.steps, seed=args.seed,
+        width=W, height=H, n=args.n, steps=args.steps, seed=args.seed,
         log_every=10, trainable=("mat_color", "light_intensity"),
         optimizer=opt, grad_mask=mask,
     )
