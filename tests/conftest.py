@@ -12,6 +12,11 @@ import os
 # the env var *and* the already-imported config must be overridden before
 # any backend initializes; otherwise every unit test pays TPU tunnel latency.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep the persistent XLA compilation cache out of the test process: CLI
+# tests call enable_compilation_cache() mid-suite, and concurrent writers
+# (a TPU bench/tool in another process) have produced a segfault inside
+# the zstd cache serializer. CPU test compiles are cheap anyway.
+os.environ["PLUTRACER_NO_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -62,6 +62,10 @@ def main(argv=None):
                     help="stratified grid per optimization step (spp = n^2 "
                          "per estimator pass; higher = less MC gradient "
                          "noise per step)")
+    ap.add_argument("--loss", default="ab", choices=["ab", "log", "l2"],
+                    help="'ab' = dual-buffer unbiased product (high variance "
+                         "under fireflies); 'log' = log1p-space L2 (slightly "
+                         "biased at low spp, drastically variance-reduced)")
     ap.add_argument("--lr-albedo", type=float, default=3e-2)
     ap.add_argument("--lr-emission", type=float, default=20.0,
                     help="initial adam lr for light_intensity (O(500) "
@@ -148,7 +152,7 @@ def main(argv=None):
     cfg = InverseRenderConfig(
         width=W, height=H, n=args.n, steps=args.steps, seed=args.seed,
         log_every=10, trainable=("mat_color", "light_intensity"),
-        optimizer=opt, grad_mask=mask,
+        optimizer=opt, grad_mask=mask, loss_space=args.loss,
     )
     t0 = time.time()
     params, losses = optimize_scene(
@@ -165,7 +169,7 @@ def main(argv=None):
             "scene": args.scene, "res": [W, H],
             "target_spp": args.target_n ** 2, "steps": args.steps,
             "lr_albedo": args.lr_albedo, "lr_emission": args.lr_emission,
-            "loss": "ab (dual-buffer unbiased)",
+            "loss": args.loss,
             "trainable": ["mat_color[diffuse rows]", "light_intensity"],
         },
         "device": jax.devices()[0].platform,
