@@ -15,10 +15,15 @@ the SAME jax.random uniforms the XLA path would draw (u = uniform(fold_in
 decisions and agree per-sample up to float32 reassociation (the dielectric
 knife edge, sphere.cpp:21-23, can still flip isolated lanes).
 
-Scope (static, from scene SHAPES — see `megakernel_eligible`): at most
-MAX_P primitives / MAX_M materials / MAX_T textures / MAX_L lights and no
-image textures (a per-ray atlas gather has no efficient VMEM lowering).
-Scenes beyond the gate render through the XLA path unchanged.
+Scope (static, from scene SHAPES — see `megakernel_eligible`): two tiers
+by primitive count — scenes up to MAX_P use the fully-UNROLLED kernel
+(every table row preloaded as scalars; fastest, but program size and
+Mosaic compile time are O(P)); larger scenes up to MAX_P_STREAM use the
+STREAMING kernel (`_build_kernel_stream`: fori_loop over Morton-ordered
+MegaPack chunks, program size O(1) in P). MAX_M materials / MAX_T
+textures / MAX_L lights stay select-chain sized, and image textures are
+excluded (a per-ray atlas gather has no efficient VMEM lowering). Scenes
+beyond the gates render through the XLA path unchanged.
 
 Layout: rays are (B/128, 128) f32 per component, block (32, 128) = 4096
 rays per program; entity tables ride along whole (ops.tables layouts);
