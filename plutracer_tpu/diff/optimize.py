@@ -69,24 +69,29 @@ def optimize_scene(
         scene, config.width, config.height, config.n, mesh, optimizer=opt,
         options=config.options, loss_space=config.loss_space,
         trainable=config.trainable, grad_mask=config.grad_mask,
+        project_nonnegative=config.project_nonnegative,
     )
     params = init_params if init_params is not None else get_params(scene)
     opt_state = step.init(params)
     target_flat = jnp.asarray(np.asarray(target_linear).reshape(-1, 3))
     key = jax.random.PRNGKey(config.seed)
     losses: List[float] = []
-    spp = config.n * config.n
-    for i in range(config.steps):
-        params, opt_state, loss = step(
-            params,
-            opt_state,
-            target_flat,
-            jax.random.fold_in(key, i),
-            jnp.int32(i % spp),
+    # chunked: log_every optimization steps per device dispatch (lax.scan
+    # inside the jit — see make_train_step.many). The per-step host loop
+    # used to cost one dispatch + one scalar sync + 4 eager projection ops
+    # per step, which through the axon relay dominated training wall-clock.
+    chunk = max(1, config.log_every)
+    i = 0
+    while i < config.steps:
+        # first chunk is a single step so the callback cadence matches the
+        # historical per-step loop (fires at steps 0, log_every, 2*log_every
+        # ..., last)
+        k = 1 if i == 0 else min(chunk, config.steps - i)
+        params, opt_state, loss_k = step.many(
+            params, opt_state, target_flat, key, i, k
         )
-        if config.project_nonnegative:
-            params = jax.tree.map(lambda x: jnp.maximum(x, 0.0), params)
-        losses.append(float(loss))
-        if callback and (i % config.log_every == 0 or i == config.steps - 1):
-            callback(i, losses[-1], params)
+        losses.extend(np.asarray(loss_k, np.float64).tolist())
+        if callback:
+            callback(i + k - 1, losses[-1], params)
+        i += k
     return params, losses

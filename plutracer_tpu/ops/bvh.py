@@ -207,6 +207,65 @@ def build_bvh(scene_np, use_native: bool = True) -> BvhArrays:
     )
 
 
+def parent_bounds_tables(bvh: BvhArrays, prim_count: int):
+    """Per-primitive PARENT-node AABB for phantom-hit culling.
+
+    Reference semantics (src/surfaces/bvh_tree.cpp:39-76): a leaf's
+    primitive is only tested when every internal node on the root->leaf
+    path passed the slab LINE test aabb::hit (inc/cmmn.h:150-172, `tmax >=
+    tmin`, no positivity); the leaf's OWN aabb is never tested
+    (bvh_node::hit returns object->hit directly for leaves). Internal-node
+    bounds are unions of their children (bvh_tree.cpp:7-36), so the chain
+    is NESTED: parent box <= every higher ancestor box — and a line that
+    intersects a set contained in X intersects X. The whole root->leaf
+    conjunction therefore collapses EXACTLY to one test: the leaf's
+    immediate parent's AABB.
+
+    Why this is visible behavior, not a perf detail: the reference's
+    shading frames go degenerate on x-face boxes (S == +-N, T == 0;
+    box.cpp:29-33 dpdu) and skewed on off-axis spheres (dpdu not tangent),
+    producing NON-UNIT sampled directions — and sphere::hit's quadratic
+    assumes |d| == 1 (sphere.cpp:17-21), so non-unit rays yield PHANTOM
+    hits at points off the sphere. The reference's internal-node culling
+    silently discards exactly the phantoms whose ray line misses the
+    subtree unions, while a plain brute-force intersector keeps them.
+    (Found in round 4: without this cull our cornell bounce>=2 radiance ran
+    1.5-2x hot — phantom wall->sphere->light caustics the reference never
+    traces.)
+
+    True hits always lie inside their primitive's AABB and therefore inside
+    the parent union, so culling NEVER changes a box/triangle result (their
+    predicates are exact for any |d|); only sphere rows can differ.
+
+    Returns (parent_min (P,3), parent_max (P,3)) numpy f32; primitives
+    with no internal parent (single-primitive scene) get an always-hit
+    +-3e38 dummy box.
+    """
+    node_prim = np.asarray(bvh.node_prim)
+    node_skip = np.asarray(bvh.node_skip)
+    node_mn = np.asarray(bvh.node_min)
+    node_mx = np.asarray(bvh.node_max)
+    N = node_prim.shape[0]
+
+    pmin = np.full((prim_count, 3), -3.0e38, np.float32)
+    pmax = np.full((prim_count, 3), 3.0e38, np.float32)
+    # pre-order: ancestors of node l = internal n < l with skip[n] > l;
+    # the stack top when visiting a leaf is its immediate parent
+    stack: List[int] = []
+    for n in range(N):
+        while stack and node_skip[stack[-1]] <= n:
+            stack.pop()
+        p = int(node_prim[n])
+        if p >= 0:
+            if stack:
+                a = stack[-1]
+                pmin[p] = node_mn[a]
+                pmax[p] = node_mx[a]
+        else:
+            stack.append(n)
+    return pmin, pmax
+
+
 # ---------------------------------------------------------------------------
 # device traversal
 # ---------------------------------------------------------------------------
@@ -267,7 +326,11 @@ def bvh_closest(scene, bvh: BvhArrays, o, d):
             scene.prim_b[pi],
             scene.prim_c[pi],
         )
-        take = hit_box & is_leaf & (t < best_t)
+        # reference leaves are tested WITHOUT their own aabb check
+        # (bvh_node::hit returns object->hit directly, bvh_tree.cpp:40-42);
+        # only internal nodes cull. This is visible behavior for phantom
+        # sphere hits of non-unit rays — see ancestor_tables.
+        take = active & is_leaf & (t < best_t)
         best_t = jnp.where(take, t, best_t)
         best_p = jnp.where(take, pi, best_p)
 

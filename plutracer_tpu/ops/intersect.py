@@ -116,9 +116,27 @@ def _prim_t_batched(o, d, ptype, a, b, c):
     )
 
 
+def line_hit_aabb(o, d, mn, mx):
+    """Reference aabb::hit (inc/cmmn.h:150-172): slab LINE test, hit iff
+    tmax >= tmin — no positivity, boxes fully behind the ray still 'hit'.
+    Broadcasts over leading dims of (o, d) x (mn, mx)."""
+    rrd = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    t1 = (mn - o) * rrd
+    t2 = (mx - o) * rrd
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return tmax >= tmin
+
+
 def intersect_ts(scene, o, d):
-    """(B, P) t values with _BIG where missed."""
-    return _prim_t_batched(
+    """(B, P) t values with _BIG where missed.
+
+    Sphere rows additionally require the reference bvh_tree's
+    internal-node culling, collapsed to one slab LINE test against the
+    leaf's parent AABB (see ops.bvh.parent_bounds_tables) — this discards
+    exactly the phantom hits of non-unit rays that the reference's
+    traversal never reaches."""
+    tmat = _prim_t_batched(
         o[:, None, :],
         d[:, None, :],
         scene.prim_type[None, :],
@@ -126,6 +144,17 @@ def intersect_ts(scene, o, d):
         scene.prim_b[None, :],
         scene.prim_c[None, :],
     )
+    rows = getattr(scene, "cull_rows", None)
+    if rows and scene.parent_min is not None:
+        ridx = jnp.asarray(rows, jnp.int32)
+        elig = line_hit_aabb(
+            o[:, None, :],
+            d[:, None, :],
+            scene.parent_min[ridx][None, :, :],
+            scene.parent_max[ridx][None, :, :],
+        )  # (B, S)
+        tmat = tmat.at[:, ridx].set(jnp.where(elig, tmat[:, ridx], _BIG))
+    return tmat
 
 
 def intersect_lite(scene, o, d, t_max: float = T_MAX):

@@ -144,6 +144,20 @@ def pack_mega_np(scene):
     rows[:, 25] = np.asarray(scene.prim_material, np.float32)
     rows[:, 26] = np.asarray(scene.prim_light, np.float32)
     rows[:, 27] = np.asarray(scene.prim_area, np.float32)
+    # sphere rows: parent-AABB phantom cull box (ops.bvh.
+    # parent_bounds_tables) in the spare cols — pmin 28:31, pmax (31,38,39)
+    rows[:, 28:31] = -3.0e38
+    rows[:, 31] = 3.0e38
+    rows[:, 38:40] = 3.0e38
+    cull = getattr(scene, "cull_rows", None)
+    if cull and getattr(scene, "parent_min", None) is not None:
+        cr = np.asarray(cull, np.int64)
+        pmn = np.asarray(scene.parent_min, np.float32)[cr]
+        pmx = np.asarray(scene.parent_max, np.float32)[cr]
+        rows[cr, 28:31] = pmn
+        rows[cr, 31] = pmx[:, 0]
+        rows[cr, 38] = pmx[:, 1]
+        rows[cr, 39] = pmx[:, 2]
 
     a, b, c = rows[:, 1:4], rows[:, 4:7], rows[:, 7:10]
     r = b[:, 0:1]
@@ -358,13 +372,40 @@ def _t_rowvals(ty, o, d, a, b, c):
     return jnp.where(ty == PRIM_SPHERE, ts, jnp.where(ty == PRIM_BOX, tb, tt))
 
 
-def _closest(prim_rows, o, d):
+def _line_hit_row(o, rinv, mn, mx):
+    """Reference aabb::hit slab LINE test (inc/cmmn.h:150-172, tmax >=
+    tmin, no positivity) of one scalar box vs a tile of rays. mn/mx:
+    3-tuples of scalars; o: 3-tuple of tiles; rinv: precomputed 1/d."""
+    tmin = None
+    tmax = None
+    for i in range(3):
+        t1 = (mn[i] - o[i]) * rinv[i]
+        t2 = (mx[i] - o[i]) * rinv[i]
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        tmin = lo if tmin is None else jnp.maximum(tmin, lo)
+        tmax = hi if tmax is None else jnp.minimum(tmax, hi)
+    return tmax >= tmin
+
+
+def _closest(prim_rows, o, d, cull=None):
     """Brute-force closest hit over all pre-loaded table rows. Returns
-    (found, prim, t). prim_rows: list of (ty, a, b, c) scalar tuples."""
+    (found, prim, t). prim_rows: list of (ty, a, b, c) scalar tuples.
+
+    cull: optional dict {row k: (pmin, pmax) scalar 3-tuples} — the
+    reference bvh_tree's internal-node phantom-hit cull collapsed to the
+    leaf's parent AABB (ops.bvh.parent_bounds_tables); rows present only
+    compete when the ray LINE crosses their box."""
     best_t = jnp.full(TILE, _BIG)
     best_p = jnp.zeros(TILE, jnp.int32)
+    rinv = None
+    if cull:
+        rinv = tuple(1.0 / jnp.where(c == 0.0, 1e-20, c) for c in d)
     for k, (ty, a, b, c) in enumerate(prim_rows):
         tk = _t_rowvals(ty, o, d, a, b, c)
+        if cull and k in cull:
+            mn, mx = cull[k]
+            tk = jnp.where(_line_hit_row(o, rinv, mn, mx), tk, _BIG)
         better = tk < best_t
         best_t = jnp.where(better, tk, best_t)
         best_p = jnp.where(better, k, best_p)
@@ -862,10 +903,12 @@ def _fetch_from(tbl, idx, spec):
     return _spec_to_dict(spec, _sel_rows(tbl, idx, _spec_cols(spec)))
 
 
-def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False):
+def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
+                  cull_rows=()):
     """Kernel specialized on static table sizes + options. unroll=True
     replaces the bounce fori_loop with a Python loop (static uniform
-    slices, no scf carry)."""
+    slices, no scf carry). cull_rows: static sphere row ids whose
+    parent-AABB phantom cull applies (rows of cull_ref, in order)."""
     import jax.experimental.pallas as pl
 
     mb = options.max_bounces
@@ -875,7 +918,7 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False):
 
     fetch = _fetch_from
 
-    def kernel(prim_ref, mat_ref, tex_ref, light_ref,
+    def kernel(prim_ref, mat_ref, tex_ref, light_ref, cull_ref,
                oxr, oyr, ozr, dxr, dyr, dzr, p0r, t0r, u_ref,
                lxr, lyr, lzr, *dbg_refs):
         o0 = (oxr[:, :], oyr[:, :], ozr[:, :])
@@ -900,6 +943,15 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False):
             )
             for k in range(P)
         ]
+        # static phantom-hit cull table: {prim row: (pmin, pmax)} scalar
+        # parent-AABB boxes for sphere rows (see _closest / ops.bvh)
+        cull = {
+            row: (
+                (cull_ref[i, 0], cull_ref[i, 1], cull_ref[i, 2]),
+                (cull_ref[i, 3], cull_ref[i, 4], cull_ref[i, 5]),
+            )
+            for i, row in enumerate(cull_rows)
+        }
 
         def u_at(i, j):
             return u_ref[pl.ds(i * 12 + j, 1), :, :].reshape(TILE)
@@ -972,9 +1024,9 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False):
 
             # three closest-hit queries (shadow | nee-bsdf | extension),
             # all originating at the shading point
-            sf, sp_, _st = _closest(prim_geo, p, ls["wi"])
-            nf, np_, _nt = _closest(prim_geo, p, bs_nee["wwi"])
-            xf, xp, xt = _closest(prim_geo, p, bs["wwi"])
+            sf, sp_, _st = _closest(prim_geo, p, ls["wi"], cull=cull)
+            nf, np_, _nt = _closest(prim_geo, p, bs_nee["wwi"], cull=cull)
+            xf, xp, xt = _closest(prim_geo, p, bs["wwi"], cull=cull)
             (s_light,) = _sel_rows(prim_tbl, sp_, (26,))
             (n_light,) = _sel_rows(prim_tbl, np_, (26,))
             s_hits = s_light.astype(jnp.int32) == li
@@ -1094,17 +1146,18 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False):
 
 @functools.partial(
     jax.jit, static_argnames=("P", "M", "T", "L", "num_lights", "options",
-                              "interpret", "unroll", "debug")
+                              "interpret", "unroll", "debug", "cull_rows")
 )
-def _megakernel_call(prim, mat, tex, light, ox, oy, oz, dx, dy, dz,
+def _megakernel_call(prim, mat, tex, light, cull_tbl, ox, oy, oz, dx, dy, dz,
                      prim0, t0, u, P, M, T, L, num_lights, options,
-                     interpret=False, unroll=False, debug=False):
+                     interpret=False, unroll=False, debug=False,
+                     cull_rows=()):
     import jax.experimental.pallas as pl
 
     Bs = ox.shape[0]
     mb = options.max_bounces
     kernel = _build_kernel(P, M, T, L, num_lights, options, unroll=unroll,
-                           debug=debug)
+                           debug=debug, cull_rows=cull_rows)
     ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
     u_spec = pl.BlockSpec((u.shape[0], 32, 128), lambda i: (0, i, 0))
@@ -1122,12 +1175,12 @@ def _megakernel_call(prim, mat, tex, light, ox, oy, oz, dx, dy, dz,
         kernel,
         grid=(Bs // 32,),
         in_specs=[table_spec(prim), table_spec(mat), table_spec(tex),
-                  table_spec(light)]
+                  table_spec(light), table_spec(cull_tbl)]
         + [ray_spec] * 8 + [u_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(prim, mat, tex, light, ox, oy, oz, dx, dy, dz, prim0, t0, u)
+    )(prim, mat, tex, light, cull_tbl, ox, oy, oz, dx, dy, dz, prim0, t0, u)
     if debug:
         return outs  # (lx, ly, lz, dbg)
     return outs
@@ -1190,6 +1243,13 @@ def _closest_stream(tbls, o, d, cull=True, live=None):
                     b = (chunk[k, 4], chunk[k, 5], chunk[k, 6])
                     if ty == PRIM_SPHERE:
                         tk = _sphere_t_row(o, d, a, b[0])
+                        # parent-AABB phantom cull (cols 28:31,31,38,39;
+                        # see pack_mega_np / ops.bvh.parent_bounds_tables)
+                        pmn = (chunk[k, 28], chunk[k, 29], chunk[k, 30])
+                        pmx = (chunk[k, 31], chunk[k, 38], chunk[k, 39])
+                        tk = jnp.where(
+                            _line_hit_row(o, rinv, pmn, pmx), tk, _BIG
+                        )
                     elif ty == PRIM_BOX:
                         tk = _box_t_row(o, d, a, b)
                     else:
@@ -1249,14 +1309,20 @@ def _closest_stream3(tbls, o, d1, d2, d3, cull=True, live=None):
                         v = _vsub(o, a)
                         vv = _vdot(v, v)
                         r2 = b[0] * b[0]
+                        # parent-AABB phantom cull (cols 28:31,31,38,39;
+                        # see pack_mega_np / ops.bvh.parent_bounds_tables)
+                        pmn = (chunk[k, 28], chunk[k, 29], chunk[k, 30])
+                        pmx = (chunk[k, 31], chunk[k, 38], chunk[k, 39])
                         for q in range(3):
                             qb = -_vdot(v, ds[q])
                             det = qb * qb - vv + r2
                             sq = jnp.sqrt(jnp.maximum(det, 0.0))
                             i1 = qb - sq
                             i2 = qb + sq
+                            elig = _line_hit_row(o, rinvs[q], pmn, pmx)
                             tk = jnp.where(
-                                (det >= 0.0) & (i1 > 0.0) & (i2 > 0.0),
+                                (det >= 0.0) & (i1 > 0.0) & (i2 > 0.0)
+                                & elig,
                                 i1, _BIG)
                             better = tk < bts[q]
                             bts[q] = jnp.where(better, tk, bts[q])
@@ -1657,7 +1723,11 @@ def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
     Pallas program. Scenes up to MAX_P primitives use the fully-unrolled
     kernel (primary hit computed with the standard backend-dispatched
     query); larger scenes use the STREAMING kernel over the MegaPack
-    tables (primary hit in-kernel).
+    tables (primary hit in-kernel). NOTE: `unroll=True` only affects the
+    small-scene kernel's bounce loop — when P > MAX_P the streaming
+    kernel is selected regardless and the flag is ignored (its bounce
+    loop is always a fori_loop; per-bounce unrolling would multiply the
+    already-dominant chunk-stream program body by max_bounces).
     """
     from plutracer_tpu.ops import intersect
     from plutracer_tpu.ops.tables import pack_tables
@@ -1717,11 +1787,22 @@ def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
         t0 = jnp.where(found0, t0, _BIG)
         p0 = comp(prim0.astype(jnp.float32)).astype(jnp.int32)
         t0r = comp(t0, _BIG)
+        # static parent-AABB phantom cull (ops.bvh.parent_bounds_tables):
+        # bounds ride a small dynamic table, row ids are static
+        cull_rows = tuple(scene.cull_rows or ())
+        if cull_rows:
+            ridx = jnp.asarray(cull_rows, jnp.int32)
+            cull_tbl = jnp.concatenate(
+                [scene.parent_min[ridx], scene.parent_max[ridx]], axis=1
+            )
+        else:
+            cull_tbl = jnp.zeros((1, 6), jnp.float32)
         res = _megakernel_call(
-            tables.prim, tables.mat, tables.tex, tables.light,
+            tables.prim, tables.mat, tables.tex, tables.light, cull_tbl,
             ox, oy, oz, dx, dy, dz, p0, t0r, u,
             P=P, M=M, T=T, L=L, num_lights=num_lights, options=options,
             interpret=interpret, unroll=unroll, debug=debug,
+            cull_rows=cull_rows,
         )
     lx, ly, lz = res[0], res[1], res[2]
     out = jnp.stack(

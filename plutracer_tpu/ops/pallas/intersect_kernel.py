@@ -8,8 +8,9 @@ primitive table through in chunks of 8 rows, and folds a running
 
 Layouts (TPU tiling: sublane x lane = (8k, 128)):
 - ray components ox..dz: (B/128, 128) f32, block (32, 128)
-- primitive table: (P, 16) f32 rows [type ax ay az bx by bz cx cy cz 0...],
-  block (8, 16); the j grid axis walks primitive chunks
+- primitive table: (P, 24) f32 rows [type ax ay az bx by bz cx cy cz id
+  pmin0..2 pmax0..2 0...], block (8, 24); the j grid axis walks primitive
+  chunks; cols 11:17 hold the sphere rows' parent-AABB cull box
 - outputs best_t (f32) and best_prim (i32): (B/128, 128), block (32, 128),
   revisited across j (accumulator pattern)
 
@@ -71,6 +72,14 @@ def _kernel(prims_ref, ox, oy, oz, dx, dy, dz, t_ref, p_ref):
     @pl.when(chunk_type == PRIM_SPHERE)
     def _():
         fold, flush = folder()
+        # reference bvh internal-node phantom-hit cull: sphere rows carry
+        # their leaf's parent AABB in cols 11:17 (pack_prims_np /
+        # ops.bvh.parent_bounds_tables); a row only competes when the ray
+        # LINE crosses that box (aabb::hit, inc/cmmn.h:150-172) — exactly
+        # the reference traversal's reach condition, collapsed by nesting.
+        rx = 1.0 / jnp.where(d_x == 0.0, 1e-20, d_x)
+        ry = 1.0 / jnp.where(d_y == 0.0, 1e-20, d_y)
+        rz = 1.0 / jnp.where(d_z == 0.0, 1e-20, d_z)
         for k in range(PRIM_TILE):
             ax, ay, az = prims_ref[k, 1], prims_ref[k, 2], prims_ref[k, 3]
             r = prims_ref[k, 4]
@@ -80,7 +89,19 @@ def _kernel(prims_ref, ox, oy, oz, dx, dy, dz, t_ref, p_ref):
             sq = jnp.sqrt(jnp.maximum(det, 0.0))
             i1 = qb - sq
             i2 = qb + sq
-            fold(k, jnp.where((det >= 0.0) & (i1 > 0.0) & (i2 > 0.0), i1, _BIG))
+            t1x, t2x = (prims_ref[k, 11] - o_x) * rx, (prims_ref[k, 14] - o_x) * rx
+            t1y, t2y = (prims_ref[k, 12] - o_y) * ry, (prims_ref[k, 15] - o_y) * ry
+            t1z, t2z = (prims_ref[k, 13] - o_z) * rz, (prims_ref[k, 16] - o_z) * rz
+            pmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            pmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            ok = (det >= 0.0) & (i1 > 0.0) & (i2 > 0.0) & (pmax >= pmin)
+            fold(k, jnp.where(ok, i1, _BIG))
         flush()
 
     @pl.when(chunk_type == PRIM_BOX)
@@ -152,7 +173,7 @@ def _pallas_closest(prims_packed, ox, oy, oz, dx, dy, dz, interpret=False):
         pl.BlockSpec((32, 128), lambda i, j: (i, 0)),
         pl.BlockSpec((32, 128), lambda i, j: (i, 0)),
     ]
-    prim_spec = pl.BlockSpec((PRIM_TILE, 16), lambda i, j: (j, 0))
+    prim_spec = pl.BlockSpec((PRIM_TILE, 24), lambda i, j: (j, 0))
 
     t, p = pl.pallas_call(
         _kernel,
@@ -169,19 +190,25 @@ def _pallas_closest(prims_packed, ox, oy, oz, dx, dy, dz, interpret=False):
 
 
 def pack_prims_np(scene) -> np.ndarray:
-    """(P_pad, 16) f32 primitive table for the Pallas kernel, PARTITIONED
+    """(P_pad, 24) f32 primitive table for the Pallas kernel, PARTITIONED
     BY PRIMITIVE TYPE: all spheres, then boxes, then triangles, each
     segment padded to a PRIM_TILE multiple with never-hit rows of the same
     type (sphere: r=0 at 1e30; box: min > max; triangle: all-zero verts).
     Column 10 carries the ORIGINAL scene row index, which the kernel
     reports as the winner — so results are identical to the unsorted
-    brute-force query. The partition lets the kernel run exactly one
-    type-specialized intersector per chunk (see _kernel). Pure numpy —
-    runs at scene-compile time with zero device round-trips."""
+    brute-force query. Sphere rows carry their BVH leaf's parent AABB in
+    cols 11:17 (always-hit +-3e38 when absent) for the reference's
+    internal-node phantom-hit cull (ops.bvh.parent_bounds_tables). The
+    partition lets the kernel run exactly one type-specialized intersector
+    per chunk (see _kernel). Pure numpy — runs at scene-compile time with
+    zero device round-trips."""
     ptype = np.asarray(scene.prim_type, np.int32)
     pa = np.asarray(scene.prim_a, np.float32)
     pb = np.asarray(scene.prim_b, np.float32)
     pc = np.asarray(scene.prim_c, np.float32)
+    pmin = getattr(scene, "parent_min", None)
+    pmax = getattr(scene, "parent_max", None)
+    cull = set(getattr(scene, "cull_rows", None) or ())
 
     segments = []
     for t in (PRIM_SPHERE, PRIM_BOX, PRIM_TRIANGLE):
@@ -189,12 +216,19 @@ def pack_prims_np(scene) -> np.ndarray:
         if idx.size == 0:
             continue
         n_pad = -(-idx.size // PRIM_TILE) * PRIM_TILE
-        seg = np.zeros((n_pad, 16), np.float32)
+        seg = np.zeros((n_pad, 24), np.float32)
         seg[:, 0] = t
+        seg[:, 11:14] = -3.0e38  # parent-AABB cull default: always hit
+        seg[:, 14:17] = 3.0e38
         seg[: idx.size, 1:4] = pa[idx]
         seg[: idx.size, 4:7] = pb[idx]
         seg[: idx.size, 7:10] = pc[idx]
         seg[: idx.size, 10] = idx.astype(np.float32)
+        if t == PRIM_SPHERE and pmin is not None:
+            for i, j in enumerate(idx):
+                if int(j) in cull:
+                    seg[i, 11:14] = np.asarray(pmin)[j]
+                    seg[i, 14:17] = np.asarray(pmax)[j]
         # never-winning padding per type. NOTE an "inverted" box (min > max)
         # is NOT a miss — the slab test re-sorts t1/t2 per axis — so padding
         # shapes are instead placed ~1e30 away: any hit has t >> T_MAX and
@@ -209,7 +243,7 @@ def pack_prims_np(scene) -> np.ndarray:
         seg[idx.size :, 10] = 0.0  # clamp padding winners to row 0 (never win)
         segments.append(seg)
     if not segments:
-        seg = np.zeros((PRIM_TILE, 16), np.float32)
+        seg = np.zeros((PRIM_TILE, 24), np.float32)
         seg[:, 0] = PRIM_TRIANGLE
         segments.append(seg)
     return np.concatenate(segments, axis=0)

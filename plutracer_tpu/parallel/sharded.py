@@ -150,6 +150,7 @@ def make_train_step(
     loss_space: str = "ab",
     trainable=DIFFERENTIABLE_FIELDS,
     grad_mask: Optional[Dict[str, Any]] = None,
+    project_nonnegative: bool = False,
 ):
     """Build a jitted, sharded inverse-rendering step.
 
@@ -179,8 +180,11 @@ def make_train_step(
 
     if optimizer is None:
         optimizer = optax.adam(1e-2)
-    # gradients flow through the bounce scan: the Pallas integrator
-    # megakernel has no AD rule, so pin the XLA path here
+    # gradients flow through the bounce scan. The megakernel DOES have an
+    # AD rule (integrator._ray_color_pallas_ad: custom_vjp whose backward
+    # re-runs the XLA VJP), so pinning "xla" here is a performance choice,
+    # not a correctness one: it skips the extra Pallas forward that the
+    # custom_vjp would run before the XLA fwd+bwd it needs anyway.
     options = options.replace(integrator_backend="xla")
     d_tiles = mesh.shape["tiles"]
     px_pad, n_px = _pad_to(np.asarray(pixel_centers(width, height)), d_tiles)
@@ -248,12 +252,48 @@ def make_train_step(
         check_vma=jax.default_backend() == "cpu",
     )
 
+    def _apply(params, opt_state, loss, grads):
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if project_nonnegative:
+            # in-graph projection (albedo/emission/texture colors are
+            # physically >= 0): doing it here instead of eagerly in the
+            # host loop saves one device round-trip per parameter per step
+            params = jax.tree.map(lambda x: jnp.maximum(x, 0.0), params)
+        return params, opt_state, loss
+
     @jax.jit
     def _step(params, opt_state, tgt_pad, key, stratum):
         loss, grads = sharded(params, px_pad, tgt_pad, key, stratum)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return _apply(params, opt_state, loss, grads)
+
+    spp = n * n
+
+    @functools.partial(jax.jit, static_argnames=("k_steps",))
+    def _steps(params, opt_state, tgt_pad, key0, start, k_steps: int):
+        """k_steps optimization steps in ONE device dispatch (lax.scan).
+
+        Bit-identical to calling _step k_steps times with
+        key=fold_in(key0, i), stratum=i%spp for i=start..start+k-1 — the
+        per-dispatch relay/host overhead (~0.1-1 s through axon) otherwise
+        dominates the whole optimization (PERF.md). Returns per-step
+        losses (k_steps,)."""
+
+        def body(carry, j):
+            params, opt_state = carry
+            i = start + j
+            loss, grads = sharded(
+                params, px_pad, tgt_pad,
+                jax.random.fold_in(key0, i),
+                jnp.asarray(i % spp, jnp.int32),
+            )
+            params, opt_state, loss = _apply(params, opt_state, loss, grads)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(k_steps)
+        )
+        return params, opt_state, losses
 
     def step(params, opt_state, target_flat, key, stratum):
         # pad on host (numpy): keeps the target uncommitted so the global
@@ -261,8 +301,16 @@ def make_train_step(
         tgt_pad, _ = _pad_to(target_flat, d_tiles)
         return _step(params, opt_state, tgt_pad, key, stratum)
 
+    def steps(params, opt_state, target_flat, key0, start: int, k_steps: int):
+        """Run steps start..start+k_steps-1 in one dispatch; same RNG
+        stream as the single-step API (key=fold_in(key0, i), i%spp)."""
+        tgt_pad, _ = _pad_to(target_flat, d_tiles)
+        return _steps(params, opt_state, tgt_pad, key0,
+                      jnp.int32(start), k_steps)
+
     def init(params):
         return optimizer.init(params)
 
     step.init = init
+    step.many = steps
     return step

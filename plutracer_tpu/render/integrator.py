@@ -117,7 +117,7 @@ def _nee_contributions(
         ]
     )
     contrib_b = jnp.where(gate_b[..., None], contrib_b, 0.0)
-    return contrib_l + contrib_b
+    return contrib_l, contrib_b
 
 
 def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
@@ -143,10 +143,11 @@ def estimate_direct(scene, hit, frame, mtype, albedo, wwo, li, u, options):
         nn = hit.norm
     else:
         nn = intersect.hit_detail(scene, hit.p, bs.wwi, nt, npr, nf).norm
-    return _nee_contributions(
+    cl, cb = _nee_contributions(
         hit, frame, mtype, albedo, wwo, options, ls, bs, lrows, carrier,
         sf, s_hits, nf, n_hits, nn,
     )
+    return cl + cb
 
 
 def _resolve_integrator_backend(scene, options) -> str:
@@ -229,9 +230,19 @@ def ray_color(
     d,
     key,
     options: RenderOptions = DEFAULT_OPTIONS,
+    terms: bool = False,
 ):
-    """Radiance for a batch of primary rays. o, d: (B,3). Returns (B,3)."""
+    """Radiance for a batch of primary rays. o, d: (B,3). Returns (B,3).
+
+    With terms=True (XLA path only; diagnostics — tools/term_dump.py)
+    additionally returns a (max_bounces, 3, B, 3) per-bounce split of the
+    radiance by contribution site, mirroring the instrumented reference
+    build (tools/refbuild/build_dump.sh): term 0 = emitted-at-vertex
+    (renderer.cpp:66), 1 = NEE light strategy, 2 = NEE BSDF strategy
+    (renderer.cpp:5-51). sum(terms) == the returned L exactly.
+    """
     if _resolve_integrator_backend(scene, options) == "pallas":
+        assert not terms, "terms split is XLA-path-only"
         return _ray_color_pallas_ad(options, scene, o, d, key)
     B = o.shape[0]
     num_lights = scene.light_type.shape[0]
@@ -265,7 +276,8 @@ def ray_color(
         emit_gate = (i == 0) | prev_spec
         own_light = gather_light(tables, jnp.maximum(rows.light, 0))
         Le = lights.emitted_rows(rows, own_light, hit.norm, wwo)
-        L = L + jnp.where((cur & emit_gate)[..., None], T * Le, 0.0)
+        t_emit = jnp.where((cur & emit_gate)[..., None], T * Le, 0.0)
+        L = L + t_emit
 
         # next-event estimation: pick one light uniformly
         li = jnp.minimum(
@@ -304,11 +316,13 @@ def ray_color(
             nee_norm = intersect.hit_detail_rows(
                 hit.p, bs_nee.wwi, t3[B : 2 * B], p3[B : 2 * B], nf, nrows
             ).norm
-        Ld = _nee_contributions(
+        cl, cb = _nee_contributions(
             hit, frame, mtype, albedo, wwo, options, ls, bs_nee, lrows, carrier,
             sf, s_hits, nf, n_hits, nee_norm,
         )
-        L = L + jnp.where(cur[..., None], T * Ld * num_lights, 0.0)
+        t_nee_l = jnp.where(cur[..., None], T * cl * num_lights, 0.0)
+        t_nee_b = jnp.where(cur[..., None], T * cb * num_lights, 0.0)
+        L = L + t_nee_l + t_nee_b
 
         # throughput update + path termination
         ok = (_dot(bs.f, bs.f) > 0.0) & (bs.pdf > 0.0)
@@ -322,7 +336,8 @@ def ray_color(
         if diff_t:
             xrows = gather_prim(tables, xp)
             xt = jnp.where(xf, intersect.prim_t_rows(hit.p, bs.wwi, xrows), xt)
-        return (hit.p, bs.wwi, T, L, bs.is_specular, alive_next, xf, xp, xt), None
+        ys = jnp.stack([t_emit, t_nee_l, t_nee_b], 0) if terms else None
+        return (hit.p, bs.wwi, T, L, bs.is_specular, alive_next, xf, xp, xt), ys
 
     # derive carry inits from the (possibly shard_map-varying) ray inputs so
     # the scan carry has consistent varying-manual-axis types under shard_map
@@ -338,5 +353,7 @@ def ray_color(
         prim0,
         t0,
     )
-    carry, _ = jax.lax.scan(body, init, jnp.arange(options.max_bounces))
+    carry, ys = jax.lax.scan(body, init, jnp.arange(options.max_bounces))
+    if terms:
+        return carry[3], ys
     return carry[3]

@@ -185,13 +185,30 @@ def compile_scene(
     if build_accel:
         import dataclasses as _dc
 
-        from plutracer_tpu.ops.bvh import build_bvh
+        from plutracer_tpu.ops.bvh import build_bvh, parent_bounds_tables
         from plutracer_tpu.ops.pallas.integrator_kernel import pack_mega_np
         from plutracer_tpu.ops.pallas.intersect_kernel import pack_prims_np
 
+        bvh = build_bvh(scene)
+        # reference bvh_tree internal-node culling (phantom-hit parity for
+        # non-unit rays — see ops.bvh.parent_bounds_tables). Only sphere
+        # rows can change under the cull, so the static row list is
+        # filtered to them here, where prim types are host numpy.
+        parent_min, parent_max = parent_bounds_tables(bvh, P)
+        cull_rows = tuple(
+            int(j)
+            for j in np.nonzero(prim_type == PRIM_SPHERE)[0]
+            if parent_max[j, 0] < 3.0e38
+        )
         scene = _dc.replace(
             scene,
-            bvh=build_bvh(scene),
+            bvh=bvh,
+            parent_min=parent_min,
+            parent_max=parent_max,
+            cull_rows=cull_rows or None,
+        )
+        scene = _dc.replace(
+            scene,
             prims_packed=pack_prims_np(scene),
             prims_mega=pack_mega_np(scene),
         )

@@ -70,7 +70,6 @@ class CameraParams:
     focal_distance: Any  # scalar
 
 
-@_register
 @dataclasses.dataclass
 class SceneArrays:
     """Device-ready scene. Shapes: P primitives, M materials, T textures,
@@ -122,6 +121,15 @@ class SceneArrays:
     prims_packed: Any = None  # (P_pad, 16) table for the Pallas kernel
     prims_mega: Any = None  # MegaPack for the streaming integrator kernel
 
+    # phantom-hit culling (ops.bvh.parent_bounds_tables; reference bvh_tree
+    # internal-node semantics, collapsed to the leaf's parent AABB by
+    # nesting). parent_min/parent_max are dynamic (P,3) bounds; cull_rows
+    # is STATIC aux data (tuple of sphere row indices needing the test) —
+    # hashable, keys jit/pallas program caches.
+    parent_min: Any = None
+    parent_max: Any = None
+    cull_rows: Any = None  # static: tuple[int, ...] | None
+
     @property
     def num_prims(self) -> int:
         return self.prim_type.shape[0]
@@ -129,6 +137,21 @@ class SceneArrays:
     @property
     def num_lights(self) -> int:
         return self.light_type.shape[0]
+
+
+_SCENE_CHILD_FIELDS = tuple(
+    f.name for f in dataclasses.fields(SceneArrays) if f.name != "cull_rows"
+)
+jax.tree_util.register_pytree_node(
+    SceneArrays,
+    lambda s: (
+        tuple(getattr(s, f) for f in _SCENE_CHILD_FIELDS),
+        s.cull_rows,
+    ),
+    lambda aux, ch: SceneArrays(
+        **dict(zip(_SCENE_CHILD_FIELDS, ch)), cull_rows=aux
+    ),
+)
 
 
 @_register

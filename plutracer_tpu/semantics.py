@@ -35,6 +35,16 @@ Quirks replicated by default
 7. ``spp_is_square`` — ``antialiasing-samples: N`` means an N x N stratified
    grid, i.e. N^2 samples per pixel (src/main.cpp:170 passes uvec2(N)).
 
+Investigated and ruled OUT (round 4): the bounce loop's un-reset hit_record
+(src/renderer.cpp:60-61,86) looks like it should clamp every path-extension
+segment to the previous segment's t (the leaf hit predicates reject
+candidates farther than hr->t) — but bvh_tree::bvh_node::hit allocates
+FRESH records at every internal node and copies the winner out
+(src/surfaces/bvh_tree.cpp:49-75), so for any scene with >= 2 surfaces the
+stale t never reaches a leaf test. Verified empirically: a reference build
+patched to reset hr before the extension hit renders identically
+(tools/refbuild/build_dump.sh methodology, round-4 session).
+
 Bugs *not* replicated (they only corrupt memory / produce NaN, never change a
 correctly-rendered pixel):
 - the tile sampler's out-of-bounds write of one extra column on clipped edge

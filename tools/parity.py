@@ -217,7 +217,11 @@ def update_md(results, baseline: bool = False) -> None:
             + format_table(results)
             + "\n"
         )
-    out = head.rstrip() + "\n" + std_marker + std_body
+    out = head.rstrip() + "\n"
+    if std_body.strip():
+        # mirror the base_body guard: --baseline on a file with no standard
+        # section must not emit an empty-bodied standard header
+        out += std_marker + std_body
     if base_body.strip():
         out += base_marker + base_body
     md.write_text(out)
