@@ -55,11 +55,15 @@ def optimize_scene(
     config: InverseRenderConfig = InverseRenderConfig(),
     init_params: Optional[Dict] = None,
     callback: Optional[Callable[[int, float, Dict], None]] = None,
+    stats_out: Optional[Dict] = None,
 ):
     """Run the inverse-rendering loop.
 
     target_linear: (H, W, 3) linear-radiance target image.
-    Returns (params, losses).
+    Returns (params, losses). If stats_out is a dict, records
+    'nonfinite_grad_frac_mean'/'_max' — the fraction of gradient entries
+    sanitized per step (should be 0; nonzero means the backward emitted
+    NaN/Inf lanes that nan_to_num zeroed — see sharded.shard_loss_grad).
     """
     import optax
 
@@ -81,17 +85,22 @@ def optimize_scene(
     # used to cost one dispatch + one scalar sync + 4 eager projection ops
     # per step, which through the axon relay dominated training wall-clock.
     chunk = max(1, config.log_every)
+    nf_fracs: List[float] = []
     i = 0
     while i < config.steps:
         # first chunk is a single step so the callback cadence matches the
         # historical per-step loop (fires at steps 0, log_every, 2*log_every
         # ..., last)
         k = 1 if i == 0 else min(chunk, config.steps - i)
-        params, opt_state, loss_k = step.many(
+        params, opt_state, loss_k, nf_k = step.many(
             params, opt_state, target_flat, key, i, k
         )
         losses.extend(np.asarray(loss_k, np.float64).tolist())
+        nf_fracs.extend(np.asarray(nf_k, np.float64).tolist())
         if callback:
             callback(i + k - 1, losses[-1], params)
         i += k
+    if stats_out is not None:
+        stats_out["nonfinite_grad_frac_mean"] = float(np.mean(nf_fracs))
+        stats_out["nonfinite_grad_frac_max"] = float(np.max(nf_fracs))
     return params, losses

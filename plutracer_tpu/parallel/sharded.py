@@ -220,7 +220,16 @@ def make_train_step(
         # isolated rays whose extension-chain backward overflows; the same
         # graph is finite on CPU). These are firefly-class outliers — a
         # single NaN would otherwise poison the whole psum and kill the
-        # optimization, so zero them (standard MC-gradient practice).
+        # optimization, so zero them (standard MC-gradient practice) — but
+        # COUNT them: a fully-broken backward must not silently become
+        # all-zero gradients (round-3 advisor finding). The sanitized
+        # fraction is psum'd and returned alongside the loss; callers
+        # (diff.optimize) surface it, and tests pin it at 0 on CPU.
+        nf_count = sum(
+            jnp.sum(~jnp.isfinite(g)).astype(jnp.float32)
+            for g in grads.values()
+        )
+        n_entries = sum(g.size for g in grads.values())  # static
         grads = {f: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
                  for f, g in grads.items()}
         grads = {
@@ -237,16 +246,19 @@ def make_train_step(
             }
         loss = jax.lax.psum(loss, "tiles")
         grads = jax.lax.psum(grads, "tiles")
+        nf_count = jax.lax.psum(jax.lax.psum(nf_count, "tiles"), "spp")
         # spp axis shards independent strata of the same estimator: average
         loss = jax.lax.pmean(loss, "spp")
         grads = jax.lax.pmean(grads, "spp")
-        return loss, grads
+        n_shards = d_tiles * mesh.shape["spp"]
+        nf_frac = nf_count / (n_entries * n_shards)
+        return loss, grads, nf_frac
 
     sharded = jax.shard_map(
         shard_loss_grad,
         mesh=mesh,
         in_specs=(P(), P("tiles"), target_spec, P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         # see render_sharded: the Pallas intersect kernel's out_shapes
         # carry no vma annotations on TPU
         check_vma=jax.default_backend() == "cpu",
@@ -264,7 +276,7 @@ def make_train_step(
 
     @jax.jit
     def _step(params, opt_state, tgt_pad, key, stratum):
-        loss, grads = sharded(params, px_pad, tgt_pad, key, stratum)
+        loss, grads, _ = sharded(params, px_pad, tgt_pad, key, stratum)
         return _apply(params, opt_state, loss, grads)
 
     spp = n * n
@@ -282,18 +294,18 @@ def make_train_step(
         def body(carry, j):
             params, opt_state = carry
             i = start + j
-            loss, grads = sharded(
+            loss, grads, nf_frac = sharded(
                 params, px_pad, tgt_pad,
                 jax.random.fold_in(key0, i),
                 jnp.asarray(i % spp, jnp.int32),
             )
             params, opt_state, loss = _apply(params, opt_state, loss, grads)
-            return (params, opt_state), loss
+            return (params, opt_state), (loss, nf_frac)
 
-        (params, opt_state), losses = jax.lax.scan(
+        (params, opt_state), (losses, nf_fracs) = jax.lax.scan(
             body, (params, opt_state), jnp.arange(k_steps)
         )
-        return params, opt_state, losses
+        return params, opt_state, losses, nf_fracs
 
     def step(params, opt_state, target_flat, key, stratum):
         # pad on host (numpy): keeps the target uncommitted so the global
@@ -303,7 +315,10 @@ def make_train_step(
 
     def steps(params, opt_state, target_flat, key0, start: int, k_steps: int):
         """Run steps start..start+k_steps-1 in one dispatch; same RNG
-        stream as the single-step API (key=fold_in(key0, i), i%spp)."""
+        stream as the single-step API (key=fold_in(key0, i), i%spp).
+        Returns (params, opt_state, losses (k,), nonfinite_grad_fracs (k,))
+        — the last is the fraction of gradient entries sanitized by
+        nan_to_num per step (see shard_loss_grad)."""
         tgt_pad, _ = _pad_to(target_flat, d_tiles)
         return _steps(params, opt_state, tgt_pad, key0,
                       jnp.int32(start), k_steps)

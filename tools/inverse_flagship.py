@@ -62,18 +62,33 @@ def main(argv=None):
                     help="stratified grid per optimization step (spp = n^2 "
                          "per estimator pass; higher = less MC gradient "
                          "noise per step)")
-    ap.add_argument("--loss", default="ab", choices=["ab", "log", "l2"],
-                    help="'ab' = dual-buffer unbiased product (high variance "
-                         "under fireflies); 'log' = log1p-space L2 (slightly "
-                         "biased at low spp, drastically variance-reduced)")
+    ap.add_argument("--loss", default="log", choices=["ab", "log", "l2"],
+                    help="phase-1 loss: 'log' = log1p-space L2 (bounded "
+                         "dynamic range; robust while emission is far off, "
+                         "but its Jensen/variance bias pushes albedo LOW — "
+                         "the r3 failure mode); 'ab' = dual-buffer unbiased "
+                         "product")
     ap.add_argument("--lr-albedo", type=float, default=3e-2)
     ap.add_argument("--lr-emission", type=float, default=20.0,
                     help="initial adam lr for light_intensity (O(500) "
                          "parameter); decays exponentially to ~2%% of this "
                          "by the final step so early steps cover the "
                          "distance and late steps settle")
+    ap.add_argument("--phase2-steps", type=int, default=300,
+                    help="refinement phase: after phase 1 converges "
+                         "emission under the biased-but-robust log loss, "
+                         "switch to the UNBIASED 'ab' product loss (its "
+                         "expectation is exactly (E[render]-target)^2, so "
+                         "the optimum is the true parameters; estimator "
+                         "variance no longer biases albedo low) with small "
+                         "lrs to recover the albedos. 0 disables.")
+    ap.add_argument("--phase2-n", type=int, default=4,
+                    help="stratified grid per phase-2 step (spp = n^2): "
+                         "more spp tames the ab-loss's variance")
+    ap.add_argument("--phase2-lr-albedo", type=float, default=1e-2)
+    ap.add_argument("--phase2-lr-emission", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default="INVERSE_r02.json")
+    ap.add_argument("--out", default="INVERSE_r04.json")
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); the ambient "
@@ -154,10 +169,46 @@ def main(argv=None):
         log_every=10, trainable=("mat_color", "light_intensity"),
         optimizer=opt, grad_mask=mask, loss_space=args.loss,
     )
+    stats = {}
     t0 = time.time()
     params, losses = optimize_scene(
-        scene, target, cfg, init_params=init, callback=cb
+        scene, target, cfg, init_params=init, callback=cb, stats_out=stats
     )
+
+    if args.phase2_steps > 0:
+        # phase 2: unbiased ab-loss refinement from the phase-1 point.
+        # The log loss minimizes E[(log1p X - log1p t)^2], whose optimum
+        # under MC noise sits at albedo BELOW truth (variance grows with
+        # albedo; Jensen bias) — exactly the r3 plateau. The ab product
+        # loss E[(Xa-t)(Xb-t)] = (E[X]-t)^2 has the true parameters as its
+        # optimum, and with emission already in place its variance is
+        # manageable at phase2-n^2 spp.
+        print(f"[flagship] phase 2: ab loss, {args.phase2_steps} steps "
+              f"at {args.phase2_n ** 2} spp", flush=True)
+        opt2 = optax.multi_transform(
+            {"albedo": optax.adam(args.phase2_lr_albedo),
+             "emission": optax.adam(args.phase2_lr_emission)},
+            param_labels={"mat_color": "albedo",
+                          "light_intensity": "emission",
+                          "tex_c0": "albedo", "tex_c1": "albedo"},
+        )
+
+        def cb2(i, loss, p):
+            cb(args.steps + i, loss, p)
+
+        cfg2 = InverseRenderConfig(
+            width=W, height=H, n=args.phase2_n, steps=args.phase2_steps,
+            seed=args.seed + 1, log_every=10,
+            trainable=("mat_color", "light_intensity"),
+            optimizer=opt2, grad_mask=mask, loss_space="ab",
+        )
+        stats2 = {}
+        params, losses2 = optimize_scene(
+            scene, target, cfg2, init_params=params, callback=cb2,
+            stats_out=stats2,
+        )
+        losses = losses + losses2
+        stats["phase2"] = stats2
     t_opt = time.time() - t0
 
     err0_albedo = _albedo_err({k: np.asarray(v) for k, v in init.items()},
@@ -170,8 +221,13 @@ def main(argv=None):
             "target_spp": args.target_n ** 2, "steps": args.steps,
             "lr_albedo": args.lr_albedo, "lr_emission": args.lr_emission,
             "loss": args.loss,
+            "phase2": {"steps": args.phase2_steps, "loss": "ab",
+                       "n": args.phase2_n,
+                       "lr_albedo": args.phase2_lr_albedo,
+                       "lr_emission": args.phase2_lr_emission},
             "trainable": ["mat_color[diffuse rows]", "light_intensity"],
         },
+        "grad_sanitize_stats": stats,
         "device": jax.devices()[0].platform,
         "target_render_s": round(t_target, 2),
         "optimize_s": round(t_opt, 2),
