@@ -149,6 +149,10 @@ def main() -> None:
     mesh_scene = REPO / "scenes" / "mesh0.urn"
     if mesh_scene.exists():
         configs.append(("mesh0_256", str(mesh_scene), 256, 256))
+    tex_scene = REPO / "scenes" / "textured0.urn"
+    if tex_scene.exists():
+        # image texture through the megakernel's VMEM-pinned atlas (r4)
+        configs.append(("textured0_256", str(tex_scene), 256, 256))
     configs.append(("cornell512", f"{SCN}/cornell-box.urn", 512, 512))
 
     changed = False

@@ -61,6 +61,7 @@ TILE = (32, 128)
 # size O(1) in P, table VMEM ~P*128*4 B). M/T/L stay select-chain sized.
 MAX_P = 64
 MAX_P_STREAM = 16384
+MAX_ATLAS = 4096  # image-atlas texels the unrolled kernel will VMEM-pin
 MAX_M = 16
 MAX_T = 8
 MAX_L = 8
@@ -71,17 +72,20 @@ PI = 3.14159265358979323846
 
 def megakernel_eligible(scene, options) -> bool:
     """Static qualification (shapes only — safe under jit tracing)."""
+    A = scene.atlas.shape[0]
+    P = scene.prim_type.shape[0]
     return (
         getattr(scene, "prims_packed", None) is not None
-        and (
-            scene.prim_type.shape[0] <= MAX_P
-            or getattr(scene, "prims_mega", None) is not None
-        )
-        and scene.prim_type.shape[0] <= MAX_P_STREAM
+        and (P <= MAX_P or getattr(scene, "prims_mega", None) is not None)
+        and P <= MAX_P_STREAM
         and scene.mat_type.shape[0] <= MAX_M
         and scene.tex_type.shape[0] <= MAX_T
         and 1 <= scene.light_type.shape[0] <= MAX_L
-        and scene.atlas.shape[0] <= 1  # no image textures
+        # image textures: VMEM-pinned atlas fetch, gated on atlas SIZE
+        # (r4 — the lane-gather loop costs ~4 VPU ops per 128-texel row
+        # per bounce) and unrolled-kernel-only (the streaming kernel has
+        # no atlas path yet)
+        and (A <= 1 or (A <= MAX_ATLAS and P <= MAX_P))
         and getattr(options, "dtype", "float32") == "float32"
     )
 
@@ -546,7 +550,30 @@ def _hit_detail(rows, o, d, t, found):
 # ---------------------------------------------------------------------------
 
 
-def _eval_albedo(mrows, trows, uv):
+def _atlas_fetch(atlas_tiles, flat):
+    """Nearest-texel fetch from the VMEM-resident atlas.
+
+    atlas_tiles: 3-tuple of (R, 128) f32 refs (r/g/b channel planes, the
+    flat (A,) atlas reshaped row-major); flat: (32, 128) i32 texel ids.
+    Mosaic on this TPU supports dynamic gather along LANES only
+    (tpu.dynamic_gather dim 1), so the fetch iterates the R atlas rows:
+    broadcast row q across sublanes, lane-gather flat%128 within it, and
+    select where flat//128 == q. Cost ~4 VPU ops x R x 3 channels per
+    call — R <= 32 under the MAX_ATLAS eligibility gate."""
+    R = atlas_tiles[0].shape[0]
+    q = flat // 128
+    m = flat % 128
+    outs = [jnp.zeros(TILE), jnp.zeros(TILE), jnp.zeros(TILE)]
+    for qi in range(R):
+        sel = q == qi
+        for c in range(3):
+            rowt = jnp.broadcast_to(atlas_tiles[c][qi : qi + 1, :], TILE)
+            part = jnp.take_along_axis(rowt, m, axis=1)
+            outs[c] = jnp.where(sel, part, outs[c])
+    return (outs[0], outs[1], outs[2])
+
+
+def _eval_albedo(mrows, trows, uv, atlas_tiles=None):
     ttype = trows["ttype"]
     scale = trows["scale"]
     c0, c1 = trows["c0"], trows["c1"]
@@ -561,6 +588,21 @@ def _eval_albedo(mrows, trows, uv):
     m = jnp.maximum(gru, grv)
     grid = _vadd(c1, _vscale(_vsub(c0, c1), m))  # bg + (fg-bg)*m; fg=c0, bg=c1
     texval = _vwhere(ttype == TEX_CHECKERBOARD, checker, grid)
+    if atlas_tiles is not None:
+        # image: wrap-mode nearest texel (ops/texture.py::_image,
+        # texture.h:53-60); only evaluated when the scene carries an atlas
+        cu = uv[0] - jnp.floor(uv[0])
+        cv = uv[1] - jnp.floor(uv[1])
+        w = trows["img_w"]
+        h = trows["img_h"]
+        icx = jnp.minimum((cu * w).astype(jnp.int32), w.astype(jnp.int32) - 1)
+        icy = jnp.minimum((cv * h).astype(jnp.int32), h.astype(jnp.int32) - 1)
+        flat = trows["img_ofs"].astype(jnp.int32) + icy * w.astype(jnp.int32) + icx
+        flat = jnp.maximum(flat, 0)
+        img = _atlas_fetch(atlas_tiles, flat)
+        from plutracer_tpu.scene.types import TEX_IMAGE as _TI
+
+        texval = _vwhere(ttype == _TI, img, texval)
     return _vwhere(mrows["tex"] >= 0.0, texval, mrows["color"])
 
 
@@ -904,11 +946,13 @@ def _fetch_from(tbl, idx, spec):
 
 
 def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
-                  cull_rows=()):
+                  cull_rows=(), atlas_rows=0):
     """Kernel specialized on static table sizes + options. unroll=True
     replaces the bounce fori_loop with a Python loop (static uniform
     slices, no scf carry). cull_rows: static sphere row ids whose
-    parent-AABB phantom cull applies (rows of cull_ref, in order)."""
+    parent-AABB phantom cull applies (rows of cull_ref, in order).
+    atlas_rows: static (R, 128) image-atlas plane height (0 = no image
+    textures; the atlas planes are still passed as 1-row dummies)."""
     import jax.experimental.pallas as pl
 
     mb = options.max_bounces
@@ -919,6 +963,7 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
     fetch = _fetch_from
 
     def kernel(prim_ref, mat_ref, tex_ref, light_ref, cull_ref,
+               atlr, atlg, atlb,
                oxr, oyr, ozr, dxr, dyr, dzr, p0r, t0r, u_ref,
                lxr, lyr, lzr, *dbg_refs):
         o0 = (oxr[:, :], oyr[:, :], ozr[:, :])
@@ -932,8 +977,11 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
         # bounce fori_loop body then touches VMEM only for uniforms)
         prim_tbl = [tuple(prim_ref[k, c] for c in range(28)) for k in range(P)]
         mat_tbl = [tuple(mat_ref[k, c] for c in range(11)) for k in range(M)]
-        tex_tbl = [tuple(tex_ref[k, c] for c in range(9)) for k in range(T)]
+        tex_cols = 12 if atlas_rows else 9
+        tex_tbl = [tuple(tex_ref[k, c] for c in range(tex_cols))
+                   for k in range(T)]
         light_tbl = [tuple(light_ref[k, c] for c in range(8)) for k in range(L)]
+        atlas_tiles = (atlr, atlg, atlb) if atlas_rows else None
         prim_geo = [
             (
                 prim_tbl[k][0].astype(jnp.int32),
@@ -981,11 +1029,14 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
             })
             mrows["mtype"] = mrows["mtype"].astype(jnp.int32)
             tid = jnp.maximum(mrows["tex"].astype(jnp.int32), 0)
-            trows = fetch(tex_tbl, tid, {
+            tex_spec = {
                 "ttype": 0, "c0": (1, 2, 3), "c1": (4, 5, 6),
                 "scale": 7, "line": 8,
-            })
-            albedo = _eval_albedo(mrows, trows, uv)
+            }
+            if atlas_rows:
+                tex_spec.update({"img_ofs": 9, "img_w": 10, "img_h": 11})
+            trows = fetch(tex_tbl, tid, tex_spec)
+            albedo = _eval_albedo(mrows, trows, uv, atlas_tiles)
             mrows["albedo"] = albedo
             frame = _make_frame(norm, dpdu)
 
@@ -1146,18 +1197,20 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
 
 @functools.partial(
     jax.jit, static_argnames=("P", "M", "T", "L", "num_lights", "options",
-                              "interpret", "unroll", "debug", "cull_rows")
+                              "interpret", "unroll", "debug", "cull_rows",
+                              "atlas_rows")
 )
-def _megakernel_call(prim, mat, tex, light, cull_tbl, ox, oy, oz, dx, dy, dz,
-                     prim0, t0, u, P, M, T, L, num_lights, options,
-                     interpret=False, unroll=False, debug=False,
-                     cull_rows=()):
+def _megakernel_call(prim, mat, tex, light, cull_tbl, atl, ox, oy, oz,
+                     dx, dy, dz, prim0, t0, u, P, M, T, L, num_lights,
+                     options, interpret=False, unroll=False, debug=False,
+                     cull_rows=(), atlas_rows=0):
     import jax.experimental.pallas as pl
 
     Bs = ox.shape[0]
     mb = options.max_bounces
     kernel = _build_kernel(P, M, T, L, num_lights, options, unroll=unroll,
-                           debug=debug, cull_rows=cull_rows)
+                           debug=debug, cull_rows=cull_rows,
+                           atlas_rows=atlas_rows)
     ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
     u_spec = pl.BlockSpec((u.shape[0], 32, 128), lambda i: (0, i, 0))
@@ -1175,12 +1228,14 @@ def _megakernel_call(prim, mat, tex, light, cull_tbl, ox, oy, oz, dx, dy, dz,
         kernel,
         grid=(Bs // 32,),
         in_specs=[table_spec(prim), table_spec(mat), table_spec(tex),
-                  table_spec(light), table_spec(cull_tbl)]
+                  table_spec(light), table_spec(cull_tbl),
+                  table_spec(atl[0]), table_spec(atl[1]), table_spec(atl[2])]
         + [ray_spec] * 8 + [u_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(prim, mat, tex, light, cull_tbl, ox, oy, oz, dx, dy, dz, prim0, t0, u)
+    )(prim, mat, tex, light, cull_tbl, atl[0], atl[1], atl[2],
+      ox, oy, oz, dx, dy, dz, prim0, t0, u)
     if debug:
         return outs  # (lx, ly, lz, dbg)
     return outs
@@ -1797,12 +1852,22 @@ def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
             )
         else:
             cull_tbl = jnp.zeros((1, 6), jnp.float32)
+        # VMEM-pinned image atlas as three (R, 128) channel planes
+        A = scene.atlas.shape[0]
+        if A > 1:
+            A_pad = -(-A // 128) * 128
+            flat = jnp.pad(scene.atlas, ((0, A_pad - A), (0, 0)))
+            atl = tuple(flat[:, c].reshape(-1, 128) for c in range(3))
+            atlas_rows = A_pad // 128
+        else:
+            atl = tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(3))
+            atlas_rows = 0
         res = _megakernel_call(
-            tables.prim, tables.mat, tables.tex, tables.light, cull_tbl,
+            tables.prim, tables.mat, tables.tex, tables.light, cull_tbl, atl,
             ox, oy, oz, dx, dy, dz, p0, t0r, u,
             P=P, M=M, T=T, L=L, num_lights=num_lights, options=options,
             interpret=interpret, unroll=unroll, debug=debug,
-            cull_rows=cull_rows,
+            cull_rows=cull_rows, atlas_rows=atlas_rows,
         )
     lx, ly, lz = res[0], res[1], res[2]
     out = jnp.stack(

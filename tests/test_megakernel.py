@@ -43,8 +43,9 @@ XLA = DEFAULT_OPTIONS.replace(integrator_backend="xla")
 #  minimal1    — box + area light only (all-diffuse control)
 #  test1       — 257 prims: exercises the STREAMING kernel (P > MAX_P)
 #  repo-mesh0  — 1283 prims incl. a triangle mesh: streaming + tri chunks
+#  repo-textured0 — image texture: the VMEM-pinned atlas lane-gather path
 SCENES = ["cornell-box", "refrac0", "glass0", "room", "test", "minimal1",
-          "test1", "repo-mesh0"]
+          "test1", "repo-mesh0", "repo-textured0"]
 
 
 def camera_rays(scene, res=32, key=0):
