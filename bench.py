@@ -96,16 +96,24 @@ def flops_per_sample(P: int) -> float:
     return SHADING_FLOP + 25.0 * P * 50.0
 
 
-def bench_train_step(w=256, h=256, n=2, steps=12):
+def bench_train_step(w=256, h=256, n=2, steps=24):
     """Inverse-rendering train-step throughput (forward + backward +
-    psum + adam) on cornell-box: the BASELINE gradient workload."""
+    psum + adam) on cornell-box: the BASELINE gradient workload.
+
+    Measures STEADY-STATE stepping: the train step is built once
+    (make_train_step) and `steps` chunked optimization steps run in one
+    device dispatch (step.many) — the shape real training has, where the
+    one-time trace/compile is amortized over hundreds of steps. (The
+    pre-r4 variant re-ran optimize_scene, which rebuilds and retraces
+    make_train_step every call; it measured jit retrace + compile-cache
+    loads through the device relay, not training.)"""
     import time
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from plutracer_tpu.diff import InverseRenderConfig, optimize_scene
+    from plutracer_tpu.parallel.mesh import make_mesh
+    from plutracer_tpu.parallel.sharded import get_params, make_train_step
     from plutracer_tpu.render.renderer import render
     from plutracer_tpu.scene import compile_scene, load_scene_file
 
@@ -113,19 +121,31 @@ def bench_train_step(w=256, h=256, n=2, steps=12):
         load_scene_file(f"{SCN}/cornell-box.urn", ["/res", f"{w}x{h}"])
     )
     target = np.asarray(render(scene, w, h, 2, jax.random.PRNGKey(100)))
-    cfg = InverseRenderConfig(
-        width=w, height=h, n=n, steps=2, loss_space="log",
+    target = target.reshape(-1, 3)
+    step = make_train_step(
+        scene, w, h, n, make_mesh(None), loss_space="log",
         trainable=("mat_color", "light_intensity"),
+        project_nonnegative=True,
     )
-    optimize_scene(scene, target, cfg)  # warmup/compile
+    params = get_params(scene)
+    opt_state = step.init(params)
+    key = jax.random.PRNGKey(0)
+    # warmup x2: the first call compiles the k-step scan; the second
+    # recompiles once more because the RETURNED params/opt_state carry the
+    # mesh's NamedSharding while the originals were single-device — from
+    # the third call on, input shardings are stable (the state real
+    # training loops are in after their first chunk)
+    for wu in range(2):
+        params, opt_state, losses, _ = step.many(
+            params, opt_state, target, key, wu * steps, steps
+        )
+        float(np.asarray(losses).sum())
     t0 = time.perf_counter()
-    cfg = InverseRenderConfig(
-        width=w, height=h, n=n, steps=steps, loss_space="log",
-        trainable=("mat_color", "light_intensity"),
+    params, opt_state, losses, nf = step.many(
+        params, opt_state, target, key, 2 * steps, steps
     )
-    _, losses = optimize_scene(scene, target, cfg)
-    dt = time.perf_counter() - t0
     ok = bool(np.isfinite(np.asarray(losses)).all())
+    dt = time.perf_counter() - t0
     return w * h * steps / dt, ok  # forward samples/s through the train step
 
 
