@@ -125,12 +125,15 @@ def test_grad_through_pallas_dispatch():
     s = load("cornell-box")
     o, d = camera_rays(s, res=8)
     key = jax.random.PRNGKey(11)
-    # max_bounces=4 halves the linearized-scan program: the full-depth
-    # VJP's XLA:CPU compile has segfaulted (LLVM crash) when this test
-    # runs late in a long suite process; 4 bounces still exercises the
-    # custom_vjp equality end-to-end
+    # full shipping depth (max_bounces=8): this VJP compile once
+    # segfaulted XLA:CPU's LLVM when run late in a ~225-test process.
+    # Dropping the process's accumulated compiled-executable state first
+    # keeps the big linearized-scan compile in a lightly-loaded LLVM
+    # context (the crash never reproduced in a fresh process); xdist
+    # loadfile distribution further isolates this file.
+    jax.clear_caches()
     forced = DEFAULT_OPTIONS.replace(
-        integrator_backend="pallas", pallas_interpret=True, max_bounces=4
+        integrator_backend="pallas", pallas_interpret=True, max_bounces=8
     )
 
     def loss(mat_color, opts):
@@ -138,7 +141,7 @@ def test_grad_through_pallas_dispatch():
         return jnp.mean(ray_color(s2, o, d, key, opts))
 
     g_pallas = jax.grad(loss)(s.mat_color, forced)
-    g_xla = jax.grad(loss)(s.mat_color, XLA.replace(max_bounces=4))
+    g_xla = jax.grad(loss)(s.mat_color, XLA)
     np.testing.assert_allclose(
         np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-5, atol=1e-7
     )
