@@ -60,8 +60,17 @@ def sphere_t(o, d, center, radius):
 
 
 def box_t(o, d, bmin, bmax):
-    """Slab test; miss when tmin < 0 (so origins inside the box miss)."""
-    rrd = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    """Slab test; miss when tmin < 0 (so origins inside the box miss).
+
+    The parallel-ray guard substitutes 1e-12 for |d| < 1e-12 (not the
+    historical 1e-20-for-exact-zero): at scene scale both make the slab
+    interval effectively (-inf, inf) on that axis — same accept/reject —
+    but 1/1e-20 overflows TPU's approximate reciprocal to +inf, and that
+    inf residual NaN-poisons reverse-mode gradients through the
+    differentiable-t recompute (0 * inf on masked lanes). Degenerate
+    shading frames (semantics.py) emit directions with EXACT zero
+    components, so this path is hot, not theoretical."""
+    rrd = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
     t1 = (bmin - o) * rrd
     t2 = (bmax - o) * rrd
     m12 = jnp.minimum(t1, t2)

@@ -216,6 +216,7 @@ def pack_mega_np(scene):
     return MegaPack(
         sph=tbls[0], box=tbls[1], tri=tbls[2],
         light_prim=light_prim.astype(np.int32),
+        scene_to_mega=new_index.astype(np.int32),
     )
 
 
@@ -1087,12 +1088,15 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
             f = _bsdf_F_nee(mrows["mtype"], albedo, norm, wwo, ls["wi"])
             unoccl = (~sf) | ((~ls["is_delta"]) & s_hits)
             b_pdf = _bsdf_pdf_nee(frame, mrows["mtype"], wwo, ls["wi"])
+            # finite-by-construction weight math: matches the XLA
+            # integrator's clipped pdfs exactly (integrator.py)
+            bp = jnp.clip(b_pdf, 1e-12, 1e9)
+            lp = jnp.clip(ls["pdf"], 1e-12, 1e9)
             if swapped_mis:
-                w = _safe_div(b_pdf * b_pdf,
-                              b_pdf * b_pdf + ls["pdf"] * ls["pdf"])
+                w = bp * bp / (bp * bp + lp * lp)
             else:
-                w = _safe_div(ls["pdf"] * ls["pdf"],
-                              b_pdf * b_pdf + ls["pdf"] * ls["pdf"])
+                w = lp * lp / (bp * bp + lp * lp)
+            w = jnp.where((b_pdf == 0.0) & (ls["pdf"] == 0.0), 0.0, w)
             w = jnp.where(ls["is_delta"], 1.0, w)
             gate_l = (
                 (ls["pdf"] > 0.0)
@@ -1100,9 +1104,8 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
                 & (_vdot(f, f) > 0.0)
                 & unoccl
             )
-            scale_l = jnp.abs(_vdot(ls["wi"], norm)) * w * _safe_div(
-                one, ls["pdf"]
-            )
+            scale_l = jnp.abs(_vdot(ls["wi"], norm)) * w / lp
+            scale_l = jnp.where(gate_l, scale_l, 0.0)
             contrib_l = _vwhere(
                 gate_l, _vscale(_vmul(f, ls["Li"]), scale_l),
                 (zero, zero, zero),
@@ -1116,8 +1119,10 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
                 _surface_pdf(carrier, p, bs_nee["wwi"], origin_pdf),
                 0.0,
             )
-            w2 = _safe_div(bs_nee["pdf"] * bs_nee["pdf"],
-                           bs_nee["pdf"] * bs_nee["pdf"] + l_pdf2 * l_pdf2)
+            bp2 = jnp.clip(bs_nee["pdf"], 1e-12, 1e9)
+            lp2c = jnp.clip(l_pdf2, 1e-12, 1e9)
+            w2 = bp2 * bp2 / (bp2 * bp2 + lp2c * lp2c)
+            w2 = jnp.where((bs_nee["pdf"] == 0.0) & (l_pdf2 == 0.0), 0.0, w2)
             w2 = jnp.where(bs_nee["is_specular"], 1.0, w2)
             if shading_gate:
                 le_gate = _vdot(norm, _vneg(bs_nee["wwi"])) > 0.0
@@ -1141,9 +1146,8 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
                 & nf
                 & (_vdot(Li2, Li2) > 0.0)
             )
-            scale_b = jnp.abs(_vdot(bs_nee["wwi"], norm)) * w2 * _safe_div(
-                one, bs_nee["pdf"]
-            )
+            scale_b = jnp.abs(_vdot(bs_nee["wwi"], norm)) * w2 / bp2
+            scale_b = jnp.where(gate_b, scale_b, 0.0)
             contrib_b = _vwhere(
                 gate_b, _vscale(_vmul(bs_nee["f"], Li2), scale_b),
                 (zero, zero, zero),
@@ -1158,8 +1162,15 @@ def _build_kernel(P, M, T, L, num_lights, options, unroll=False, debug=False,
             # throughput update + path termination
             ok = (_vdot(bs["f"], bs["f"]) > 0.0) & (bs["pdf"] > 0.0)
             alive_next = cur & ok & (i <= mb - 2)
-            tscale = jnp.abs(_vdot(bs["wwi"], norm)) * _safe_div(one, bs["pdf"])
-            T_next = _vscale(_vmul(T_, bs["f"]), tscale)
+            # clamped weight/product (1e12 / 1e16): keeps deep
+            # degenerate-frame chains f32-finite; matches the XLA
+            # integrator's throughput clamp exactly (integrator.py)
+            tscale = (jnp.abs(_vdot(bs["wwi"], norm))
+                      / jnp.clip(bs["pdf"], 1e-12, 1e9))
+            w_b = tuple(jnp.minimum(fc * tscale, 1.0e12) for fc in bs["f"])
+            T_next = tuple(
+                jnp.minimum(tc * wc, 1.0e16) for tc, wc in zip(T_, w_b)
+            )
             T_ = _vwhere(alive_next, T_next, T_)
 
             if debug:
@@ -1480,9 +1491,19 @@ def _fetch_stream(tbls, idx, spec):
     return _spec_to_dict(spec, list(outs))
 
 
-def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
+def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
+                         one_bounce=False):
     """Streaming-kernel builder. shapes: ((Psph, Pbox, Ptri)) static row
-    counts of the MegaPack tables (0 = table absent, not passed)."""
+    counts of the MegaPack tables (0 = table absent, not passed).
+
+    one_bounce=True builds the WAVEFRONT step kernel instead: the full
+    per-ray carry (o, d, T, L, prev_spec, alive, prim, t) enters and
+    leaves as arrays and the bounce index arrives as a (1,1) scalar
+    input, so the host can re-SORT rays between bounces (Morton order on
+    the shading vertex) — sorted tiles make the per-chunk cluster cull
+    effective, which whole-path-in-VMEM execution cannot (incoherent
+    lanes union-hit every cluster; PERF.md r3). Identical per-ray math:
+    `body` below is shared verbatim with the monolithic kernel."""
     import jax.experimental.pallas as pl
 
     mb = options.max_bounces
@@ -1500,20 +1521,8 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
             type_info.append((ty, len(type_info), off))
             off += n
 
-    def kernel(*refs):
-        ntab = len(type_info)
-        prim_refs = refs[:ntab]
-        mat_ref, tex_ref, light_ref = refs[ntab : ntab + 3]
-        oxr, oyr, ozr, dxr, dyr, dzr, u_ref = refs[ntab + 3 : ntab + 10]
-        lxr, lyr, lzr = refs[ntab + 10 : ntab + 13]
-        dbg_refs = refs[ntab + 13 :]
-
+    def _env(prim_refs, mat_ref, tex_ref, light_ref):
         tbls = [(ty, prim_refs[pos], toff) for ty, pos, toff in type_info]
-        o0 = (oxr[:, :], oyr[:, :], ozr[:, :])
-        d0 = (dxr[:, :], dyr[:, :], dzr[:, :])
-        zero = jnp.zeros(TILE)
-        one = jnp.ones(TILE)
-
         # small tables preloaded as scalar rows (loop-invariant)
         mat_tbl = [tuple(mat_ref[k, c] for c in range(11)) for k in range(M)]
         tex_tbl = [tuple(tex_ref[k, c] for c in range(9)) for k in range(T)]
@@ -1538,15 +1547,12 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
                     inr = (cid >= toff) & (cid < toff + n)
                     vals = tuple(jnp.where(inr, s, v) for s, v in zip(sc, vals))
             carrier_tbl.append(vals)
+        return tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl
 
-        def u_at(i, j):
-            return u_ref[pl.ds(i * 12 + j, 1), :, :].reshape(TILE)
-
-        # primary hit in-kernel (the unrolled kernel takes it as an input;
-        # here one more streamed query is cheaper than a separate dispatch)
-        f0, prim0, t0 = _closest_stream(tbls, o0, d0)
-        t0 = jnp.where(f0, t0, _BIG)
-
+    def _mk_body(tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl, u_at,
+                 dbg_refs):
+        zero = jnp.zeros(TILE)
+        one = jnp.ones(TILE)
         def body(i, carry):
             (o, d, T_, Lrad, prev_spec_f, alive_f, prim, t) = carry
             prev_spec = prev_spec_f != 0.0
@@ -1626,12 +1632,15 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
             f = _bsdf_F_nee(mrows["mtype"], albedo, norm, wwo, ls["wi"])
             unoccl = (~sf) | ((~ls["is_delta"]) & s_hits)
             b_pdf = _bsdf_pdf_nee(frame, mrows["mtype"], wwo, ls["wi"])
+            # finite-by-construction weight math: matches the XLA
+            # integrator's clipped pdfs exactly (integrator.py)
+            bp = jnp.clip(b_pdf, 1e-12, 1e9)
+            lp = jnp.clip(ls["pdf"], 1e-12, 1e9)
             if swapped_mis:
-                w = _safe_div(b_pdf * b_pdf,
-                              b_pdf * b_pdf + ls["pdf"] * ls["pdf"])
+                w = bp * bp / (bp * bp + lp * lp)
             else:
-                w = _safe_div(ls["pdf"] * ls["pdf"],
-                              b_pdf * b_pdf + ls["pdf"] * ls["pdf"])
+                w = lp * lp / (bp * bp + lp * lp)
+            w = jnp.where((b_pdf == 0.0) & (ls["pdf"] == 0.0), 0.0, w)
             w = jnp.where(ls["is_delta"], 1.0, w)
             gate_l = (
                 (ls["pdf"] > 0.0)
@@ -1639,9 +1648,8 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
                 & (_vdot(f, f) > 0.0)
                 & unoccl
             )
-            scale_l = jnp.abs(_vdot(ls["wi"], norm)) * w * _safe_div(
-                one, ls["pdf"]
-            )
+            scale_l = jnp.abs(_vdot(ls["wi"], norm)) * w / lp
+            scale_l = jnp.where(gate_l, scale_l, 0.0)
             contrib_l = _vwhere(
                 gate_l, _vscale(_vmul(f, ls["Li"]), scale_l),
                 (zero, zero, zero),
@@ -1652,8 +1660,10 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
                 _surface_pdf(carrier, p, bs_nee["wwi"], origin_pdf),
                 0.0,
             )
-            w2 = _safe_div(bs_nee["pdf"] * bs_nee["pdf"],
-                           bs_nee["pdf"] * bs_nee["pdf"] + l_pdf2 * l_pdf2)
+            bp2 = jnp.clip(bs_nee["pdf"], 1e-12, 1e9)
+            lp2c = jnp.clip(l_pdf2, 1e-12, 1e9)
+            w2 = bp2 * bp2 / (bp2 * bp2 + lp2c * lp2c)
+            w2 = jnp.where((bs_nee["pdf"] == 0.0) & (l_pdf2 == 0.0), 0.0, w2)
             w2 = jnp.where(bs_nee["is_specular"], 1.0, w2)
             if shading_gate:
                 le_gate = _vdot(norm, _vneg(bs_nee["wwi"])) > 0.0
@@ -1677,9 +1687,8 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
                 & nf
                 & (_vdot(Li2, Li2) > 0.0)
             )
-            scale_b = jnp.abs(_vdot(bs_nee["wwi"], norm)) * w2 * _safe_div(
-                one, bs_nee["pdf"]
-            )
+            scale_b = jnp.abs(_vdot(bs_nee["wwi"], norm)) * w2 / bp2
+            scale_b = jnp.where(gate_b, scale_b, 0.0)
             contrib_b = _vwhere(
                 gate_b, _vscale(_vmul(bs_nee["f"], Li2), scale_b),
                 (zero, zero, zero),
@@ -1694,8 +1703,15 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
             # throughput update + path termination
             ok = (_vdot(bs["f"], bs["f"]) > 0.0) & (bs["pdf"] > 0.0)
             alive_next = cur & ok & (i <= mb - 2)
-            tscale = jnp.abs(_vdot(bs["wwi"], norm)) * _safe_div(one, bs["pdf"])
-            T_next = _vscale(_vmul(T_, bs["f"]), tscale)
+            # clamped weight/product (1e12 / 1e16): keeps deep
+            # degenerate-frame chains f32-finite; matches the XLA
+            # integrator's throughput clamp exactly (integrator.py)
+            tscale = (jnp.abs(_vdot(bs["wwi"], norm))
+                      / jnp.clip(bs["pdf"], 1e-12, 1e9))
+            w_b = tuple(jnp.minimum(fc * tscale, 1.0e12) for fc in bs["f"])
+            T_next = tuple(
+                jnp.minimum(tc * wc, 1.0e16) for tc, wc in zip(T_, w_b)
+            )
             T_ = _vwhere(alive_next, T_next, T_)
 
             if debug:
@@ -1714,7 +1730,33 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
                     jnp.where(bs["is_specular"], 1.0, 0.0),
                     jnp.where(alive_next, 1.0, 0.0),
                     xp, jnp.where(xf, xt, _BIG))
+        return body
 
+    def kernel(*refs):
+        ntab = len(type_info)
+        prim_refs = refs[:ntab]
+        mat_ref, tex_ref, light_ref = refs[ntab : ntab + 3]
+        oxr, oyr, ozr, dxr, dyr, dzr, u_ref = refs[ntab + 3 : ntab + 10]
+        lxr, lyr, lzr = refs[ntab + 10 : ntab + 13]
+        dbg_refs = refs[ntab + 13 :]
+
+        tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl = _env(
+            prim_refs, mat_ref, tex_ref, light_ref)
+        o0 = (oxr[:, :], oyr[:, :], ozr[:, :])
+        d0 = (dxr[:, :], dyr[:, :], dzr[:, :])
+        zero = jnp.zeros(TILE)
+        one = jnp.ones(TILE)
+
+        def u_at(i, j):
+            return u_ref[pl.ds(i * 12 + j, 1), :, :].reshape(TILE)
+
+        # primary hit in-kernel (the unrolled kernel takes it as an input;
+        # here one more streamed query is cheaper than a separate dispatch)
+        f0, prim0, t0 = _closest_stream(tbls, o0, d0)
+        t0 = jnp.where(f0, t0, _BIG)
+
+        body = _mk_body(tbls, mat_tbl, tex_tbl, light_tbl,
+                        carrier_tbl, u_at, dbg_refs)
         init = (o0, d0, (one, one, one), (zero, zero, zero), zero, one,
                 prim0, t0)
         carry = jax.lax.fori_loop(0, mb, body, init)
@@ -1723,6 +1765,45 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False):
         lyr[:, :] = Lrad[1]
         lzr[:, :] = Lrad[2]
 
+    def kernel_ob(*refs):
+        # WAVEFRONT step: one bounce over an externally-sorted carry
+        ntab = len(type_info)
+        prim_refs = refs[:ntab]
+        mat_ref, tex_ref, light_ref, i_ref = refs[ntab : ntab + 4]
+        (oxr, oyr, ozr, dxr, dyr, dzr, txr, tyr, tzr, lxr0, lyr0, lzr0,
+         psr, avr, pr, tr, u_ref) = refs[ntab + 4 : ntab + 21]
+        (oxo, oyo, ozo, dxo, dyo, dzo, txo, tyo, tzo, lxo, lyo, lzo,
+         pso, avo, po, to) = refs[ntab + 21 :]
+
+        tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl = _env(
+            prim_refs, mat_ref, tex_ref, light_ref)
+
+        def u_at(i, j):
+            return u_ref[pl.ds(j, 1), :, :].reshape(TILE)
+
+        body = _mk_body(tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl,
+                        u_at, ())
+        iv = i_ref[0, 0]
+        carry = (
+            (oxr[:, :], oyr[:, :], ozr[:, :]),
+            (dxr[:, :], dyr[:, :], dzr[:, :]),
+            (txr[:, :], tyr[:, :], tzr[:, :]),
+            (lxr0[:, :], lyr0[:, :], lzr0[:, :]),
+            psr[:, :], avr[:, :], pr[:, :], tr[:, :],
+        )
+        (o_n, d_n, T_n, L_n, ps_n, av_n, p_n, t_n) = body(iv, carry)
+        oxo[:, :], oyo[:, :], ozo[:, :] = o_n[0], o_n[1], o_n[2]
+        dxo[:, :], dyo[:, :], dzo[:, :] = d_n[0], d_n[1], d_n[2]
+        txo[:, :], tyo[:, :], tzo[:, :] = T_n[0], T_n[1], T_n[2]
+        lxo[:, :], lyo[:, :], lzo[:, :] = L_n[0], L_n[1], L_n[2]
+        pso[:, :] = ps_n
+        avo[:, :] = av_n
+        po[:, :] = p_n
+        to[:, :] = t_n
+
+    if one_bounce:
+        assert not debug, "one-bounce wavefront kernel has no debug mode"
+        return kernel_ob
     return kernel
 
 
@@ -1769,6 +1850,177 @@ def _megakernel_call_stream(prim_tbls, mat, tex, light, ox, oy, oz,
     return outs
 
 
+def _megakernel_call_stream_onebounce(prim_tbls, mat, tex, light, iv, carry,
+                                      u, M, T, L, num_lights, options,
+                                      interpret=False):
+    """One WAVEFRONT bounce. carry: 16 (Bs, 128) arrays
+    [ox oy oz dx dy dz Tx Ty Tz Lx Ly Lz prev_spec alive prim(i32) t];
+    iv: (1,1) i32 bounce index; u: (12, Bs, 128). Returns the 16-array
+    next carry."""
+    import jax.experimental.pallas as pl
+
+    Bs = carry[0].shape[0]
+    shapes = tuple(
+        t.shape[0] if t is not None and t.shape[0] else 0 for t in prim_tbls
+    )
+    present = [t for t in prim_tbls if t is not None and t.shape[0]]
+    kernel = _build_kernel_stream(shapes, M, T, L, num_lights, options,
+                                  one_bounce=True)
+    ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
+    table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
+    u_spec = pl.BlockSpec((12, 32, 128), lambda i: (0, i, 0))
+    dt = [jnp.float32] * 14 + [jnp.int32, jnp.float32]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bs // 32,),
+        in_specs=[table_spec(t) for t in present]
+        + [table_spec(mat), table_spec(tex), table_spec(light),
+           table_spec(iv)]
+        + [ray_spec] * 16 + [u_spec],
+        out_specs=[ray_spec] * 16,
+        out_shape=[jax.ShapeDtypeStruct((Bs, 128), t) for t in dt],
+        interpret=interpret,
+    )(*present, mat, tex, light, iv, *carry, u)
+    return outs
+
+
+def _morton_key(p, lo, hi):
+    """(B,) int32 Morton code of positions p within [lo, hi] (10 bits per
+    axis) — the wavefront sort key."""
+    g = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+    xyz = (g * 1023.0).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    code = (
+        spread(xyz[:, 0]) | (spread(xyz[:, 1]) << 1)
+        | (spread(xyz[:, 2]) << 2)
+    )
+    return code.astype(jnp.int32)
+
+
+def _ray_color_stream_wavefront(scene, tables, o, d, key, options,
+                                interpret=False):
+    """WAVEFRONT dispatch for P > MAX_P scenes: per-bounce Morton sorting
+    of the ray carry so the one-bounce stream kernel sees spatially
+    coherent (32, 128) tiles — which is what makes the per-chunk cluster
+    cull (and dead-lane tile skipping) actually pay; the monolithic
+    all-bounces-in-VMEM kernel cannot reorder across tiles and measured
+    the cull as a wash on incoherent tiles (PERF.md r3).
+
+    Per-ray math is identical to the monolithic stream kernel (the bounce
+    body is shared verbatim) and uniforms travel WITH their ray through
+    the sorts, so results match the XLA path the same way the monolithic
+    kernel does."""
+    B = o.shape[0]
+    mb = options.max_bounces
+    num_lights = scene.light_type.shape[0]
+    M = tables.mat.shape[0]
+    T = tables.tex.shape[0]
+    L = tables.light.shape[0]
+    mega = scene.prims_mega
+    light_tbl = tables.light.at[:, 7].set(mega.light_prim.astype(jnp.float32))
+    prim_tbls = tuple(
+        t if t.shape[0] else None for t in (mega.sph, mega.box, mega.tri)
+    )
+
+    B_pad = -(-B // RAY_TILE) * RAY_TILE
+    pad = B_pad - B
+    padf = lambda x, v=0.0: jnp.pad(x, (0, pad), constant_values=v)
+
+    # uniforms per (bounce, slot, ray) — gathered through the sorts so
+    # each ray draws exactly what the XLA path would draw for it
+    us = jnp.stack(
+        [jax.random.uniform(jax.random.fold_in(key, i), (B, 12))
+         for i in range(mb)]
+    )  # (mb, B, 12)
+    us = jnp.pad(us, ((0, 0), (0, pad), (0, 0)))
+
+    from plutracer_tpu.ops import intersect
+
+    found0, prim0, t0 = intersect.query_lite(scene, o, d, options)
+    prim_mega0 = mega.scene_to_mega[jnp.maximum(prim0, 0)]
+    t0 = jnp.where(found0, t0, _BIG)
+
+    # flat (B_pad,) carry columns
+    st = {
+        "ox": padf(o[:, 0]), "oy": padf(o[:, 1]), "oz": padf(o[:, 2]),
+        "dx": padf(d[:, 0], 1.0), "dy": padf(d[:, 1], 1.0),
+        "dz": padf(d[:, 2], 1.0),
+        "Tx": padf(jnp.ones(B)), "Ty": padf(jnp.ones(B)),
+        "Tz": padf(jnp.ones(B)),
+        "Lx": padf(jnp.zeros(B)), "Ly": padf(jnp.zeros(B)),
+        "Lz": padf(jnp.zeros(B)),
+        "ps": padf(jnp.zeros(B)),
+        "av": padf(jnp.ones(B)),  # padding lanes: t=_BIG keeps them inert
+        "prim": padf(prim_mega0, 0).astype(jnp.int32),
+        "t": padf(t0, _BIG),
+    }
+    order = ["ox", "oy", "oz", "dx", "dy", "dz", "Tx", "Ty", "Tz",
+             "Lx", "Ly", "Lz", "ps", "av", "prim", "t"]
+    orig = jnp.arange(B_pad, dtype=jnp.int32)
+
+    # scene bounds for the Morton grid (cheap (P,) reductions)
+    lo = jnp.minimum(
+        jnp.min(scene.prim_a, 0),
+        jnp.minimum(jnp.min(scene.prim_b, 0), jnp.min(scene.prim_c, 0)),
+    )
+    hi = jnp.maximum(
+        jnp.max(scene.prim_a, 0),
+        jnp.maximum(jnp.max(scene.prim_b, 0), jnp.max(scene.prim_c, 0)),
+    )
+
+    sort_mode = getattr(options, "stream_sort", "morton")
+    for i in range(mb):
+        # reorder so dead/missed lanes pack into whole-dead tiles (the
+        # per-tile cull then skips every chunk for them) and, in morton
+        # mode, live lanes cluster by shading-vertex locality. Bounce 0
+        # is skipped: camera rays arrive pixel-ordered (already coherent).
+        if i > 0 and sort_mode != "none":
+            live = (st["av"] != 0.0) & (st["t"] < T_MAX)
+            if sort_mode == "morton":
+                ox = jnp.stack([st["ox"], st["oy"], st["oz"]], -1)
+                keym = jnp.where(
+                    live, _morton_key(ox, lo, hi), jnp.int32(2**30)
+                )
+                perm = jnp.argsort(keym)
+            else:  # "compact": cumsum stable partition (no full sort)
+                n_alive = jnp.sum(live.astype(jnp.int32))
+                pos = jnp.where(
+                    live,
+                    jnp.cumsum(live.astype(jnp.int32)) - 1,
+                    n_alive + jnp.cumsum((~live).astype(jnp.int32)) - 1,
+                )
+                perm = jnp.zeros(B_pad, jnp.int32).at[pos].set(
+                    jnp.arange(B_pad, dtype=jnp.int32)
+                )
+            st = {k: v[perm] for k, v in st.items()}
+            orig = orig[perm]
+        u_i = us[i][orig]  # (B_pad, 12) — uniforms follow their ray
+
+        carry = [st[k].reshape(B_pad // 128, 128) for k in order]
+        u_k = u_i.T.reshape(12, B_pad // 128, 128)
+        outs = _megakernel_call_stream_onebounce(
+            prim_tbls, tables.mat, tables.tex, light_tbl,
+            jnp.full((1, 1), i, jnp.int32), carry, u_k,
+            M=M, T=T, L=L, num_lights=num_lights, options=options,
+            interpret=interpret,
+        )
+        st = {k: v.reshape(-1) for k, v in zip(order, outs)}
+
+    # radiance back to the original ray order
+    L_out = jnp.zeros((B_pad, 3))
+    L_out = L_out.at[orig].set(
+        jnp.stack([st["Lx"], st["Ly"], st["Lz"]], -1)
+    )
+    return L_out[:B]
+
+
 def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
                      unroll: bool = False, debug: bool = False):
     """Drop-in for render/integrator.py::ray_color on eligible scenes.
@@ -1796,6 +2048,15 @@ def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
     T = tables.tex.shape[0]
     L = tables.light.shape[0]
     stream = P > MAX_P
+    if (stream and not debug
+            and getattr(options, "stream_wavefront", True)):
+        # big-P scenes default to the per-bounce WAVEFRONT dispatch with
+        # Morton ray sorting (see _ray_color_stream_wavefront); the
+        # monolithic stream kernel stays available via
+        # options.stream_wavefront=False (and carries the debug channels)
+        return _ray_color_stream_wavefront(
+            scene, tables, o, d, key, options, interpret=interpret
+        )
 
     us = jnp.stack(
         [

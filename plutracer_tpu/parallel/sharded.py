@@ -215,16 +215,20 @@ def make_train_step(
             return _compare(c, target_local)
 
         loss, grads = jax.value_and_grad(local_loss)(params)
-        # sanitize: the path-tracing backward can emit non-finite lanes on
-        # degenerate deep-specular paths (observed on TPU at max_bounces=8:
-        # isolated rays whose extension-chain backward overflows; the same
-        # graph is finite on CPU). These are firefly-class outliers — a
-        # single NaN would otherwise poison the whole psum and kill the
-        # optimization, so zero them (standard MC-gradient practice) — but
-        # COUNT them: a fully-broken backward must not silently become
-        # all-zero gradients (round-3 advisor finding). The sanitized
-        # fraction is psum'd and returned alongside the loss; callers
-        # (diff.optimize) surface it, and tests pin it at 0 on CPU.
+        # sanitize: on TPU at max_bounces=8 the path-tracing backward
+        # emits fully-NaN parameter gradients on ~half of cornell train
+        # steps; the same graph is finite on CPU every time. Round-4
+        # investigation (instrumented cut-bisection): the poison enters
+        # through two chains — the extension bsdf_sample outputs and the
+        # area-light sample/pdf chain — survives pdf clipping, scale
+        # double-wheres, throughput clamps AND jax.checkpoint remat, and
+        # checkify blames an unlocated `div`; an unrolled-python-loop
+        # twin of the same math is clean, implicating XLA:TPU's
+        # scan-backward residual handling of masked-lane infs rather
+        # than our graph. Contained, not fixed: NaN steps are zeroed
+        # (the optimizer skips them) and COUNTED — the fraction is
+        # psum'd, returned from step.many, surfaced by diff.optimize
+        # stats_out, and pinned at 0 on CPU by tests.
         nf_count = sum(
             jnp.sum(~jnp.isfinite(g)).astype(jnp.float32)
             for g in grads.values()

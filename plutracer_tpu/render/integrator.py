@@ -65,14 +65,31 @@ def _nee_contributions(
     p = hit.p
     n = hit.norm
 
+    # Finite-by-construction weight math: every pdf entering ARITHMETIC is
+    # clipped to [1e-12, 1e9] (gates keep the raw values). Raw area-light
+    # pdfs reach ~1e22 at grazing carrier angles; squaring them overflows
+    # f32 to inf, and 1/pdf of a denormal does too. The primal outcomes
+    # are unchanged to f32 precision (both raw and clipped forms drive
+    # the weight or the contribution to 0/1 at the extremes), but inf
+    # NEVER materializes — an inf residual saved by the bounce scan makes
+    # the whole reverse pass NaN via 0 * inf even on fully-masked lanes
+    # (measured: ~40-50% of TPU train steps at max_bounces=8 lost their
+    # entire mat_color gradient to this before the clamp).
+    clipp = lambda x: jnp.clip(x, 1e-12, 1e9)
+
     # ---- light-sampling strategy ----
     f = bsdf_ops.bsdf_F_nee(mtype, albedo, n, wwo, ls.wi)
     unoccl = ~shadow_found | (~ls.is_delta & shadow_hits_light)
     b_pdf = bsdf_ops.bsdf_pdf_nee(frame, mtype, wwo, ls.wi)
+    bp = clipp(b_pdf)
+    lp = clipp(ls.pdf)
     if options.swapped_light_mis_weight:
-        w = _safe_div(b_pdf * b_pdf, b_pdf * b_pdf + ls.pdf * ls.pdf)
+        w = bp * bp / (bp * bp + lp * lp)
     else:
-        w = _safe_div(ls.pdf * ls.pdf, b_pdf * b_pdf + ls.pdf * ls.pdf)
+        w = lp * lp / (bp * bp + lp * lp)
+    # the clip floor makes the denominator nonzero, but keep the
+    # historical zero-weight outcome when BOTH raw pdfs are zero
+    w = jnp.where((b_pdf == 0.0) & (ls.pdf == 0.0), 0.0, w)
     w = jnp.where(ls.is_delta, 1.0, w)
     gate_l = (
         (ls.pdf > 0.0)
@@ -80,18 +97,16 @@ def _nee_contributions(
         & (_dot(f, f) > 0.0)
         & unoccl
     )
-    contrib_l = (
-        f
-        * ls.Li
-        * (jnp.abs(_dot(ls.wi, n)) * w * _safe_div(jnp.ones_like(ls.pdf), ls.pdf))[
-            ..., None
-        ]
-    )
+    scale_l = jnp.where(gate_l, jnp.abs(_dot(ls.wi, n)) * w / lp, 0.0)
+    contrib_l = f * ls.Li * scale_l[..., None]
     contrib_l = jnp.where(gate_l[..., None], contrib_l, 0.0)
 
     # ---- BSDF-sampling strategy (non-delta lights only) ----
     l_pdf2 = lights.light_pdf_rows(lrows, carrier, p, bs.wwi, options)
-    w2 = _safe_div(bs.pdf * bs.pdf, bs.pdf * bs.pdf + l_pdf2 * l_pdf2)
+    bp2 = clipp(bs.pdf)
+    lp2 = clipp(l_pdf2)
+    w2 = bp2 * bp2 / (bp2 * bp2 + lp2 * lp2)
+    w2 = jnp.where((bs.pdf == 0.0) & (l_pdf2 == 0.0), 0.0, w2)
     w2 = jnp.where(bs.is_specular, 1.0, w2)
     if options.shading_normal_le_gate:
         # reference passes the SHADING point's (p, n) into material::Le
@@ -109,13 +124,8 @@ def _nee_contributions(
         & nee_found
         & (_dot(Li2, Li2) > 0.0)
     )
-    contrib_b = (
-        bs.f
-        * Li2
-        * (jnp.abs(_dot(bs.wwi, n)) * w2 * _safe_div(jnp.ones_like(bs.pdf), bs.pdf))[
-            ..., None
-        ]
-    )
+    scale_b = jnp.where(gate_b, jnp.abs(_dot(bs.wwi, n)) * w2 / bp2, 0.0)
+    contrib_b = bs.f * Li2 * scale_b[..., None]
     contrib_b = jnp.where(gate_b[..., None], contrib_b, 0.0)
     return contrib_l, contrib_b
 
@@ -324,12 +334,29 @@ def ray_color(
         t_nee_b = jnp.where(cur[..., None], T * cb * num_lights, 0.0)
         L = L + t_nee_l + t_nee_b
 
-        # throughput update + path termination
+        # throughput update + path termination. The per-bounce weight and
+        # the running product are clamped (1e12 / 1e16): the reference's
+        # degenerate x-face wall frames grow |cos|/pdf without bound, and
+        # at max_bounces=8 the f32 product can overflow to inf on a LIVE
+        # lane — the primal stays masked-finite but every term's backward
+        # then dies of 0 * inf (measured on TPU: ~40% of train steps had
+        # fully-NaN mat_color gradients). Radiance from a >=1e12-weight
+        # path is saturated garbage in any output; the clamp is invisible
+        # below it (semantics.py silent-guards).
         ok = (_dot(bs.f, bs.f) > 0.0) & (bs.pdf > 0.0)
         alive_next = cur & ok & (i <= options.max_bounces - 2)
-        T_next = T * bs.f * (
-            jnp.abs(_dot(bs.wwi, hit.norm)) * _safe_div(jnp.ones_like(bs.pdf), bs.pdf)
-        )[..., None]
+        # clipped pdf (no inf from denormal reciprocals) + clamped weight
+        # and product: see the finite-by-construction note in
+        # _nee_contributions and the throughput note in semantics.py
+        w_b = jnp.minimum(
+            bs.f
+            * (
+                jnp.abs(_dot(bs.wwi, hit.norm))
+                / jnp.clip(bs.pdf, 1e-12, 1e9)
+            )[..., None],
+            1.0e12,
+        )
+        T_next = jnp.minimum(T * w_b, 1.0e16)
         T = jnp.where(alive_next[..., None], T_next, T)
 
         # differentiable t recompute for non-AD backends (see query_closest)

@@ -172,6 +172,7 @@ class MegaPack:
     box: Any  # (Pb_pad, 40) f32
     tri: Any  # (Pt_pad, 40) f32
     light_prim: Any  # (L,) i32 remapped carrier ids
+    scene_to_mega: Any = None  # (P,) i32 scene row -> packed id (wavefront)
 
 
 # ---------------- host-side description ----------------

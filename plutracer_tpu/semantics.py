@@ -70,6 +70,15 @@ replaces a reference NaN/Inf with a finite value; full audit):
   sign(0) -> +1 where the reference's `np.x < 0 ? -1 : 1` chain
   (src/surfaces/box.cpp:44-60) also yields +1 — matching, but made explicit
   because jnp.sign (unlike the C ternary) returns 0 there.
+- throughput clamp (render/integrator.py + both megakernels): the
+  per-bounce weight f*|cos|/pdf is clamped at 1e12 and the running path
+  throughput at 1e16. The reference's degenerate x-face box frames
+  (box.cpp:29-33) make the weight unbounded; at 8 bounces the f32 product
+  can overflow to +inf on a live lane — the reference then propagates
+  inf/NaN into that sample (tonemap saturates it), while our reverse-mode
+  gradients would die of 0 * inf for the whole batch. A >=1e12-weight
+  sample is saturated garbage either way; images differ only on that
+  measure-zero set, gradients become well-defined.
 - division guards via jnp.where(x == 0, 1, x) throughout (_safe_div,
   box_t's 1e-20 ray-direction epsilon matching the slab test's IEEE-Inf
   behavior, triangle_t's det==0 reject) — all on paths where the reference
@@ -116,6 +125,12 @@ class RenderOptions:
     # training loops that never consume the Pallas forward should still
     # pin "xla" to skip the extra forward (make_train_step does).
     integrator_backend: str = "auto"
+    # big-P (streaming) scenes: per-bounce wavefront dispatch with Morton
+    # ray sorting between bounces (True, default — coherent tiles make
+    # the in-kernel cluster cull effective) vs the monolithic
+    # all-bounces-in-one-program stream kernel (False; also the debug
+    # path). Identical per-ray math either way.
+    stream_wavefront: bool = True
     # run Pallas kernels in interpret mode (tests on CPU; never on TPU)
     pallas_interpret: bool = False
 

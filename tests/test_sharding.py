@@ -103,3 +103,37 @@ def test_gradients_flow_to_emission(scene, eight_devices):
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g["light_intensity"]).max()) > 0
     assert float(jnp.abs(g["mat_color"]).max()) > 0
+
+
+def test_no_sanitized_gradient_lanes_cpu(eight_devices):
+    """The flagship train step must not rely on the non-finite gradient
+    sanitizer on CPU: every zeroed entry is a wasted/biased step. (On TPU
+    at max_bounces=8 an XLA scan-backward issue still NaNs a fraction of
+    steps — counted and surfaced via step.many / stats_out; see
+    sharded.shard_loss_grad. This test pins the CPU baseline at exactly
+    zero so our own graph can't regress into producing them.)"""
+    import jax
+    import numpy as np
+
+    from plutracer_tpu.parallel.mesh import make_mesh
+    from plutracer_tpu.parallel.sharded import get_params, make_train_step
+    from plutracer_tpu.render.renderer import render
+    from plutracer_tpu.scene import compile_scene, load_scene_file
+
+    scene = compile_scene(
+        load_scene_file(
+            "/root/reference/scenes/cornell-box.urn", ["/res", "32x32"]
+        )
+    )
+    target = np.asarray(render(scene, 32, 32, 2, jax.random.PRNGKey(5)))
+    step = make_train_step(
+        scene, 32, 32, 2, make_mesh((4, 2)), loss_space="log",
+        trainable=("mat_color", "light_intensity"),
+    )
+    params = get_params(scene)
+    opt_state = step.init(params)
+    _, _, losses, nf = step.many(
+        params, opt_state, target.reshape(-1, 3), jax.random.PRNGKey(0), 0, 6
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+    assert float(np.asarray(nf).max()) == 0.0, np.asarray(nf)
