@@ -125,12 +125,22 @@ class RenderOptions:
     # training loops that never consume the Pallas forward should still
     # pin "xla" to skip the extra forward (make_train_step does).
     integrator_backend: str = "auto"
-    # big-P (streaming) scenes: per-bounce wavefront dispatch with Morton
-    # ray sorting between bounces (True, default — coherent tiles make
-    # the in-kernel cluster cull effective) vs the monolithic
-    # all-bounces-in-one-program stream kernel (False; also the debug
-    # path). Identical per-ray math either way.
-    stream_wavefront: bool = True
+    # big-P (streaming) scenes: per-bounce wavefront dispatch (one-bounce
+    # kernel + host loop that can re-sort the ray carry between bounces)
+    # vs the monolithic all-bounces-in-one-program stream kernel
+    # (default). Identical per-ray math either way. Measured on TPU v5e
+    # (PERF.md r4): the split alone costs 6-20%; ANY inter-bounce reorder
+    # (argsort or cumsum compaction) costs ~9 ms/bounce at B=65k while
+    # buying nothing — diffuse bounce directions are isotropic, so
+    # origin-sorted tiles still union-hit every cluster AABB and the
+    # per-tile cull stays a wash. Kept as infrastructure: the one-bounce
+    # kernel is the required shape for HBM-streamed prim tables beyond
+    # the VMEM P ceiling.
+    stream_wavefront: bool = False
+    # wavefront inter-bounce reorder: "morton" (full spatial sort of live
+    # lanes), "compact" (cumsum partition: dead lanes to whole-dead tiles
+    # only — much cheaper than a sort), "none"
+    stream_sort: str = "morton"
     # run Pallas kernels in interpret mode (tests on CPU; never on TPU)
     pallas_interpret: bool = False
 
