@@ -47,6 +47,9 @@ class InverseRenderConfig:
     optimizer: Optional[object] = None
     # optional per-entry 0/1 gradient mask (see make_train_step)
     grad_mask: Optional[Dict] = None
+    # k x k average-pool rendered/target images before the ab loss
+    # (unbiased variance reduction; see make_train_step)
+    loss_downsample: int = 1
 
 
 def optimize_scene(
@@ -74,6 +77,7 @@ def optimize_scene(
         options=config.options, loss_space=config.loss_space,
         trainable=config.trainable, grad_mask=config.grad_mask,
         project_nonnegative=config.project_nonnegative,
+        loss_downsample=config.loss_downsample,
     )
     params = init_params if init_params is not None else get_params(scene)
     opt_state = step.init(params)

@@ -151,8 +151,19 @@ def make_train_step(
     trainable=DIFFERENTIABLE_FIELDS,
     grad_mask: Optional[Dict[str, Any]] = None,
     project_nonnegative: bool = False,
+    loss_downsample: int = 1,
 ):
     """Build a jitted, sharded inverse-rendering step.
+
+    loss_downsample=k (k > 1, single-tile meshes only): average-pool the
+    rendered and target LINEAR images over k x k blocks before the loss.
+    Pooling commutes with expectation, so the 'ab' product loss stays
+    unbiased — its optimum is still the true parameters — while each
+    pooled residual averages k^2 pixels of Monte-Carlo noise. This is the
+    variance-reduction lever that makes albedo recovery converge: raw
+    per-pixel ab residuals are dominated by path-tracing fireflies
+    (measured loss ~5e3 vs a signal of O(1)), burying the gradient
+    signal-to-noise.
 
     step(params, opt_state, target, key, stratum) -> (params, opt_state, loss)
 
@@ -187,6 +198,11 @@ def make_train_step(
     # custom_vjp would run before the XLA fwd+bwd it needs anyway.
     options = options.replace(integrator_backend="xla")
     d_tiles = mesh.shape["tiles"]
+    if loss_downsample > 1:
+        assert d_tiles == 1, (
+            "loss_downsample pools the whole image and needs a 1-tile mesh"
+        )
+        assert height % loss_downsample == 0 and width % loss_downsample == 0
     px_pad, n_px = _pad_to(np.asarray(pixel_centers(width, height)), d_tiles)
     target_spec = P("tiles")
 
@@ -201,15 +217,28 @@ def make_train_step(
         si = jax.lax.axis_index("spp")
         k = jax.random.fold_in(jax.random.fold_in(key, ti), si)
 
+        def pool(x):
+            # k x k average pooling of the flat (H*W, 3) image (see the
+            # loss_downsample docstring); only valid on 1-tile meshes
+            # where the shard holds the whole image
+            kk = loss_downsample
+            x = x.reshape(height // kk, kk, width // kk, kk, 3)
+            return x.mean(axis=(1, 3)).reshape(-1, 3)
+
         def local_loss(params):
             sc = apply_params(scene, params)
             if loss_space == "ab":
                 ka, kb = jax.random.split(k)
                 xa = _trace_stratum(sc, px_local, stratum, n, ka, options)
                 xb = _trace_stratum(sc, px_local, stratum, n, kb, options)
-                da = xa - target_local
-                db = xb - target_local
-                return jnp.sum(da * db) / (px_pad.shape[0] * 3)
+                if loss_downsample > 1:
+                    xa, xb = pool(xa), pool(xb)
+                    tl = pool(target_local)
+                else:
+                    tl = target_local
+                da = xa - tl
+                db = xb - tl
+                return jnp.sum(da * db) / (da.shape[0] * 3)
             c = _trace_stratum(sc, px_local, stratum, n, k, options)
             # mean over the full (padded) pixel count; psum completes it
             return _compare(c, target_local)
@@ -268,20 +297,32 @@ def make_train_step(
         check_vma=jax.default_backend() == "cpu",
     )
 
-    def _apply(params, opt_state, loss, grads):
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+    def _apply(params, opt_state, loss, grads, nf_frac):
+        updates, new_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
         if project_nonnegative:
             # in-graph projection (albedo/emission/texture colors are
             # physically >= 0): doing it here instead of eagerly in the
             # host loop saves one device round-trip per parameter per step
-            params = jax.tree.map(lambda x: jnp.maximum(x, 0.0), params)
+            new_params = jax.tree.map(lambda x: jnp.maximum(x, 0.0),
+                                      new_params)
+        # REJECT steps whose backward produced non-finite entries: the
+        # sanitizer has already zeroed them, but an all-zero update still
+        # advances adam's count (decaying lr schedules lose the step) and
+        # decays the moments. Skipping the whole update keeps the
+        # trajectory identical to one that never drew the bad step.
+        bad = nf_frac > 0.0
+        keep = lambda old, new: jax.tree.map(
+            lambda a, b: jnp.where(bad, a, b), old, new
+        )
+        params = keep(params, new_params)
+        opt_state = keep(opt_state, new_state)
         return params, opt_state, loss
 
     @jax.jit
     def _step(params, opt_state, tgt_pad, key, stratum):
-        loss, grads, _ = sharded(params, px_pad, tgt_pad, key, stratum)
-        return _apply(params, opt_state, loss, grads)
+        loss, grads, nf = sharded(params, px_pad, tgt_pad, key, stratum)
+        return _apply(params, opt_state, loss, grads, nf)
 
     spp = n * n
 
@@ -303,7 +344,9 @@ def make_train_step(
                 jax.random.fold_in(key0, i),
                 jnp.asarray(i % spp, jnp.int32),
             )
-            params, opt_state, loss = _apply(params, opt_state, loss, grads)
+            params, opt_state, loss = _apply(
+                params, opt_state, loss, grads, nf_frac
+            )
             return (params, opt_state), (loss, nf_frac)
 
         (params, opt_state), (losses, nf_fracs) = jax.lax.scan(

@@ -82,9 +82,19 @@ def main(argv=None):
                          "the optimum is the true parameters; estimator "
                          "variance no longer biases albedo low) with small "
                          "lrs to recover the albedos. 0 disables.")
+    ap.add_argument("--phase2-loss", default="ab", choices=["ab", "log"],
+                    help="phase-2 loss: 'ab' unbiased product, or 'log' at "
+                         "high spp (its variance bias shrinks as 1/spp) — "
+                         "useful with --phase2-lr-emission 0 to refine "
+                         "albedo against a frozen converged emission")
     ap.add_argument("--phase2-n", type=int, default=4,
                     help="stratified grid per phase-2 step (spp = n^2): "
                          "more spp tames the ab-loss's variance")
+    ap.add_argument("--phase2-downsample", type=int, default=8,
+                    help="k x k average-pool images before the phase-2 ab "
+                         "loss: unbiased (pooling commutes with E[]), and "
+                         "each pooled residual averages k^2 pixels of MC "
+                         "noise — the SNR lever that makes albedo converge")
     ap.add_argument("--phase2-lr-albedo", type=float, default=1e-2)
     ap.add_argument("--phase2-lr-emission", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
@@ -183,11 +193,16 @@ def main(argv=None):
         # loss E[(Xa-t)(Xb-t)] = (E[X]-t)^2 has the true parameters as its
         # optimum, and with emission already in place its variance is
         # manageable at phase2-n^2 spp.
-        print(f"[flagship] phase 2: ab loss, {args.phase2_steps} steps "
+        print(f"[flagship] phase 2: {args.phase2_loss} loss, {args.phase2_steps} steps "
               f"at {args.phase2_n ** 2} spp", flush=True)
+        # clip-then-adam: the pooled ab loss still sees occasional
+        # firefly PAIRS (single-step loss spikes of 1e5); clipping keeps
+        # those steps from kicking the iterate off the valley floor
         opt2 = optax.multi_transform(
-            {"albedo": optax.adam(args.phase2_lr_albedo),
-             "emission": optax.adam(args.phase2_lr_emission)},
+            {"albedo": optax.chain(optax.clip_by_global_norm(1.0),
+                                   optax.adam(args.phase2_lr_albedo)),
+             "emission": optax.chain(optax.clip_by_global_norm(1.0),
+                                     optax.adam(args.phase2_lr_emission))},
             param_labels={"mat_color": "albedo",
                           "light_intensity": "emission",
                           "tex_c0": "albedo", "tex_c1": "albedo"},
@@ -200,7 +215,10 @@ def main(argv=None):
             width=W, height=H, n=args.phase2_n, steps=args.phase2_steps,
             seed=args.seed + 1, log_every=10,
             trainable=("mat_color", "light_intensity"),
-            optimizer=opt2, grad_mask=mask, loss_space="ab",
+            optimizer=opt2, grad_mask=mask, loss_space=args.phase2_loss,
+            loss_downsample=(args.phase2_downsample
+                             if args.phase2_loss == "ab" else 1),
+            mesh_shape=(1, 1),
         )
         stats2 = {}
         params, losses2 = optimize_scene(
