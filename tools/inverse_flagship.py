@@ -195,14 +195,18 @@ def main(argv=None):
         # manageable at phase2-n^2 spp.
         print(f"[flagship] phase 2: {args.phase2_loss} loss, {args.phase2_steps} steps "
               f"at {args.phase2_n ** 2} spp", flush=True)
-        # clip-then-adam: the pooled ab loss still sees occasional
-        # firefly PAIRS (single-step loss spikes of 1e5); clipping keeps
-        # those steps from kicking the iterate off the valley floor
+        # adam with a decaying albedo lr: under the pooled ab loss the
+        # gradient is signal+noise; a constant lr leaves an lr-sized
+        # random walk around the optimum (measured: clip(1.0)+lr 2e-2
+        # walked albedo MAE from its 0.075 minimum back up to 0.14), a
+        # decaying one settles
+        al_sched = optax.exponential_decay(
+            args.phase2_lr_albedo, transition_steps=args.phase2_steps,
+            decay_rate=0.05,
+        )
         opt2 = optax.multi_transform(
-            {"albedo": optax.chain(optax.clip_by_global_norm(1.0),
-                                   optax.adam(args.phase2_lr_albedo)),
-             "emission": optax.chain(optax.clip_by_global_norm(1.0),
-                                     optax.adam(args.phase2_lr_emission))},
+            {"albedo": optax.adam(al_sched),
+             "emission": optax.adam(args.phase2_lr_emission)},
             param_labels={"mat_color": "albedo",
                           "light_intensity": "emission",
                           "tex_c0": "albedo", "tex_c1": "albedo"},
@@ -221,6 +225,10 @@ def main(argv=None):
             mesh_shape=(1, 1),
         )
         stats2 = {}
+        # host round-trip: phase-1 params carry the phase-1 mesh's
+        # sharding; numpy leaves are uncommitted and placeable on the
+        # phase-2 (single-tile, pooling-capable) mesh
+        params = {k: np.asarray(v) for k, v in params.items()}
         params, losses2 = optimize_scene(
             scene, target, cfg2, init_params=params, callback=cb2,
             stats_out=stats2,
