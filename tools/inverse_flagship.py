@@ -1,21 +1,32 @@
 #!/usr/bin/env python
 """Flagship inverse rendering at scale (BASELINE.md final row).
 
-cornell-box at 256x256: recover the three diffuse wall albedos
-(``mat_color``) and the area-light emission (``light_intensity``) from a
-rendered target image, with gradients flowing through the full NEE+MIS
-path-tracing estimator. The mirror/glass tints stay frozen via the
-per-row gradient mask; emission (~500) and albedo (~0.2) get separate
-adam learning rates via optax.multi_transform.
+cornell-box (default 512x512 artifact runs use --res 512): recover the
+three diffuse wall albedos (``mat_color``) and the area-light emission
+(``light_intensity``) from a rendered target image, with gradients
+flowing through the full NEE+MIS path-tracing estimator. Two phases
+(rationale measured in PERF.md r4):
+
+1. LOG loss, decaying-lr adam on emission: robust while emission is 4x
+   off, converges it to ~2% rel err — but its Jensen/variance bias puts
+   the ALBEDO optimum below truth, so phase 1 cannot finish the job.
+2. Pooled unbiased 'ab' product loss at high spp: average-pooling the
+   linear images (unbiased — pooling commutes with expectation) plus
+   64 spp per buffer lifts the gradient SNR enough for adam to descend
+   the true optimum without the skew-driven walk-away.
+
+Mirror/glass tints stay frozen via the per-row gradient mask; per-field
+adam lrs via optax.multi_transform; non-finite (TPU scan-backward) steps
+are rejected wholesale by make_train_step.
 
 Writes the convergence curve + per-parameter recovery errors to
-INVERSE_r02.json and (optionally) target/initial/recovered BMPs.
+INVERSE_r04.json and (optionally) target/initial/recovered BMPs.
 
 Reference being inverted: the estimator of src/renderer.cpp:59-96 over
 scenes/cornell-box.urn; the reference has no differentiable mode — this
 capability is TPU-native (jax.grad through the bounce scan).
 
-Usage: python tools/inverse_flagship.py [--res 256] [--steps 600]
+Usage: python tools/inverse_flagship.py [--res 512] [--steps 1500]
 """
 
 from __future__ import annotations
