@@ -77,6 +77,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     print("rendering... ")
     import jax
 
+    if jax.default_backend() not in ("cpu",):
+        # the integrator megakernel compiles once per (scene shape,
+        # resolution): ~10 s for the streaming kernel, up to ~2 min for
+        # the unrolled small-scene kernel (PERF.md). The persistent
+        # compilation cache makes every later process load it in seconds,
+        # but a truly cold first render must not look hung.
+        print(
+            "(first render of this scene/resolution compiles the TPU "
+            "kernel: up to ~2 min, cached for all later runs)",
+            flush=True,
+        )
+
     from plutracer_tpu.render.progressive import render_with_checkpoint
 
     render_start = time.perf_counter()
