@@ -169,6 +169,11 @@ def main() -> None:
     mesh_scene = REPO / "scenes" / "mesh0.urn"
     if mesh_scene.exists():
         configs.append(("mesh0_256", str(mesh_scene), 256, 256))
+    big_scene = REPO / "scenes" / "mesh1.urn"
+    if big_scene.exists():
+        # 20,483 prims: beyond the r3 16,384 streaming ceiling (r4 raised
+        # it to 40,960); brute-force-linear in P, so ~16x slower than mesh0
+        configs.append(("mesh1_256", str(big_scene), 256, 256))
     tex_scene = REPO / "scenes" / "textured0.urn"
     if tex_scene.exists():
         # image texture through the megakernel's VMEM-pinned atlas (r4)

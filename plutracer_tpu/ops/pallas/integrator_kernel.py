@@ -60,7 +60,7 @@ TILE = (32, 128)
 # over Morton-ordered chunks with cluster-AABB whole-tile culling — program
 # size O(1) in P, table VMEM ~P*128*4 B). M/T/L stay select-chain sized.
 MAX_P = 64
-MAX_P_STREAM = 16384
+MAX_P_STREAM = 40960
 MAX_ATLAS = 4096  # image-atlas texels the unrolled kernel will VMEM-pin
 MAX_M = 16
 MAX_T = 8

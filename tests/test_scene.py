@@ -158,3 +158,29 @@ def test_draw_text():
     assert img.sum() > 0
     # drawing off the edge must not wrap or crash
     draw_text(img, "XXXXXXXXXXXXXXXXXXXXXXXX", (80, 25), (1, 1, 1))
+
+
+def test_mesh1_beyond_old_stream_ceiling():
+    """scenes/mesh1.urn (20,483 primitives: 20,480-tri asteroid + floor +
+    mirror sphere + area light) exceeds the round-3 streaming-kernel cap
+    of 16,384 — it must load, qualify for the (raised, r4) streaming
+    megakernel, and render finitely through the XLA oracle path."""
+    import jax
+    import numpy as np
+
+    from plutracer_tpu.ops.pallas.integrator_kernel import (
+        MAX_P_STREAM,
+        megakernel_eligible,
+    )
+    from plutracer_tpu.render.renderer import render
+    from plutracer_tpu.scene import compile_scene, load_scene_file
+    from plutracer_tpu.semantics import DEFAULT_OPTIONS
+
+    s = compile_scene(load_scene_file("scenes/mesh1.urn", ["/res", "16x16"]))
+    P = s.prim_type.shape[0]
+    assert P > 16384, P
+    assert P <= MAX_P_STREAM
+    assert megakernel_eligible(s, DEFAULT_OPTIONS)
+    img = np.asarray(render(s, 16, 16, 1, jax.random.PRNGKey(0)))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0

@@ -103,17 +103,20 @@ def write_obj(path, v, f, n, uv):
             out.write(f"f {a}/{a}/{a} {b}/{b}/{b} {c}/{c}/{c}\n")
 
 
-def main(subdiv: int = 3) -> None:
+def main(subdiv: int = 3, name: str = "asteroid.obj") -> None:
     v, f = icosahedron()
     for _ in range(subdiv):
         v, f = subdivide(v, f)
     v = displace(v)
     n = vertex_normals(v, f)
     uv = spherical_uv(v)
-    out = REPO / "scenes" / "asteroid.obj"
+    out = REPO / "scenes" / name
     write_obj(out, v, f, n, uv)
     print(f"wrote {out}: {len(v)} vertices, {len(f)} triangles")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 3,
+        sys.argv[2] if len(sys.argv) > 2 else "asteroid.obj",
+    )
