@@ -105,6 +105,11 @@ def optimize_scene(
             callback(i + k - 1, losses[-1], params)
         i += k
     if stats_out is not None:
-        stats_out["nonfinite_grad_frac_mean"] = float(np.mean(nf_fracs))
-        stats_out["nonfinite_grad_frac_max"] = float(np.max(nf_fracs))
+        # steps == 0 is degenerate-but-legal: report 0.0, not np.mean([])
+        stats_out["nonfinite_grad_frac_mean"] = (
+            float(np.mean(nf_fracs)) if nf_fracs else 0.0
+        )
+        stats_out["nonfinite_grad_frac_max"] = (
+            float(np.max(nf_fracs)) if nf_fracs else 0.0
+        )
     return params, losses

@@ -200,9 +200,23 @@ def pack_mega_np(scene):
             tbl[n:, 26] = -1.0
             tbl[n:, 27] = 1.0
             plo, phi = lo[idx], hi[idx]
+            # rows carrying a real parent-AABB phantom cull box: the
+            # reference KEEPS a sphere hit whenever the ray LINE crosses
+            # the parent box (no t >= 0 bound, cmmn.h:150-172), but the
+            # chunk cluster cull below is a bounded RAY test over the
+            # union of own-AABBs — it would skip phantom hits whose box
+            # lies behind the ray or outside the Morton cluster. Give
+            # such chunks an everything-box so the cull never skips them
+            # (matches _closest / the XLA oracle exactly; sphere tables
+            # are tiny, so the cost is nil).
+            has_cull = rows[idx, 28] > -2.9e38
             for ci in range(n_pad // PCHUNK):
                 s, e = ci * PCHUNK, min((ci + 1) * PCHUNK, n)
                 if s < n:
+                    if t == PRIM_SPHERE and has_cull[s:e].any():
+                        tbl[ci * PCHUNK : (ci + 1) * PCHUNK, 32:35] = -3.0e38
+                        tbl[ci * PCHUNK : (ci + 1) * PCHUNK, 35:38] = 3.0e38
+                        continue
                     tbl[ci * PCHUNK : (ci + 1) * PCHUNK, 32:35] = plo[s:e].min(0)
                     tbl[ci * PCHUNK : (ci + 1) * PCHUNK, 35:38] = phi[s:e].max(0)
                 else:  # all-padding chunk: empty AABB never hits
@@ -2049,11 +2063,13 @@ def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
     L = tables.light.shape[0]
     stream = P > MAX_P
     if (stream and not debug
-            and getattr(options, "stream_wavefront", True)):
-        # big-P scenes default to the per-bounce WAVEFRONT dispatch with
-        # Morton ray sorting (see _ray_color_stream_wavefront); the
-        # monolithic stream kernel stays available via
-        # options.stream_wavefront=False (and carries the debug channels)
+            and getattr(options, "stream_wavefront", False)):
+        # OPT-IN per-bounce WAVEFRONT dispatch for big-P scenes
+        # (options.stream_wavefront=True). The default stays the
+        # monolithic stream kernel: PERF.md r4 measured every reorder
+        # strategy (Morton sort, compaction, no-op) as a net loss on
+        # diffuse bounces. The wavefront path remains the base for
+        # HBM-streamed tables beyond the VMEM prim ceiling.
         return _ray_color_stream_wavefront(
             scene, tables, o, d, key, options, interpret=interpret
         )

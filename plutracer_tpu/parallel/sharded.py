@@ -238,7 +238,11 @@ def make_train_step(
                     tl = target_local
                 da = xa - tl
                 db = xb - tl
-                return jnp.sum(da * db) / (da.shape[0] * 3)
+                # normalize by the GLOBAL (pooled) pixel count so the psum
+                # over 'tiles' completes a true mean — da.shape[0] is the
+                # per-shard count, which on multi-tile meshes is 1/d_tiles
+                # of the image (pooling itself requires d_tiles == 1)
+                return jnp.sum(da * db) / (da.shape[0] * 3 * d_tiles)
             c = _trace_stratum(sc, px_local, stratum, n, k, options)
             # mean over the full (padded) pixel count; psum completes it
             return _compare(c, target_local)
@@ -258,13 +262,6 @@ def make_train_step(
         # (the optimizer skips them) and COUNTED — the fraction is
         # psum'd, returned from step.many, surfaced by diff.optimize
         # stats_out, and pinned at 0 on CPU by tests.
-        nf_count = sum(
-            jnp.sum(~jnp.isfinite(g)).astype(jnp.float32)
-            for g in grads.values()
-        )
-        n_entries = sum(g.size for g in grads.values())  # static
-        grads = {f: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
-                 for f, g in grads.items()}
         grads = {
             f: (g if f in trainable else jnp.zeros_like(g))
             for f, g in grads.items()
@@ -277,6 +274,17 @@ def make_train_step(
                     else g)
                 for f, g in grads.items()
             }
+        # count non-finites AFTER the trainable filter and grad_mask: a NaN
+        # confined to frozen rows or untrained fields cannot update any
+        # parameter, so it must neither reject the step (via _apply's
+        # nf_frac > 0 gate) nor inflate the reported nonfinite fraction
+        nf_count = sum(
+            jnp.sum(~jnp.isfinite(g)).astype(jnp.float32)
+            for g in grads.values()
+        )
+        n_entries = sum(g.size for g in grads.values())  # static
+        grads = {f: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+                 for f, g in grads.items()}
         loss = jax.lax.psum(loss, "tiles")
         grads = jax.lax.psum(grads, "tiles")
         nf_count = jax.lax.psum(jax.lax.psum(nf_count, "tiles"), "spp")

@@ -25,6 +25,16 @@ PATHS.update({f"repo-{p.stem}": p for p in sorted(REPO_SCENES.glob("*.urn"))})
 NAMES = sorted(PATHS)
 
 
+def test_every_scene_has_a_golden():
+    """Guard: adding a scenes/*.urn without running tools/make_goldens.py for
+    it must fail loudly here (not as a FileNotFoundError mid-suite)."""
+    missing = [n for n in NAMES if not (GOLDEN_DIR / f"{n}.npz").exists()]
+    assert not missing, (
+        f"goldens missing for {missing}: run "
+        f"`JAX_PLATFORMS=cpu python tools/make_goldens.py {' '.join(missing)}`"
+    )
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_golden(name):
     golden = np.load(GOLDEN_DIR / f"{name}.npz")["linear"].astype(np.float32)

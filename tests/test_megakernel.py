@@ -102,6 +102,32 @@ def test_ray_color_equivalence(name):
     )
 
 
+@pytest.mark.parametrize("sort", ["none", "compact", "morton"])
+def test_wavefront_matches_monolithic_stream(sort):
+    """The opt-in per-bounce wavefront dispatch (stream_wavefront=True)
+    must agree with the monolithic stream kernel for every reorder mode:
+    the bounce body is shared and uniforms travel with their rays, so the
+    paths are the same math in a different dispatch shape."""
+    s = load("test1")  # 257 prims: streaming tier
+    o, d = camera_rays(s, res=16)
+    key = jax.random.PRNGKey(7)
+    mono = np.asarray(ray_color_pallas(s, o, d, key, DEFAULT_OPTIONS,
+                                       interpret=True))
+    wf_opts = DEFAULT_OPTIONS.replace(stream_wavefront=True,
+                                      stream_sort=sort)
+    wf = np.asarray(ray_color_pallas(s, o, d, key, wf_opts, interpret=True))
+    assert np.isfinite(wf).all()
+    a = np.log1p(np.maximum(wf, 0.0))
+    b = np.log1p(np.maximum(mono, 0.0))
+    diff = np.abs(a - b)
+    # same uniforms, same decisions: agreement is reassociation-tight
+    assert (diff > 1e-3).mean() <= 0.005, (
+        f"sort={sort}: {(diff > 1e-3).mean():.2%} lanes differ; "
+        f"max={diff.max():.2e}"
+    )
+    assert abs(a.mean() - b.mean()) <= 0.01
+
+
 def test_unroll_matches_fori_loop():
     """The unrolled bounce body is the same program as the fori_loop one."""
     s = load("minimal1")

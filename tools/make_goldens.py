@@ -41,8 +41,12 @@ def all_scenes():
 
 
 def main():
+    # Optional CLI args: golden stems to (re)generate; default = all.
+    only = set(sys.argv[1:])
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     for stem, p in all_scenes():
+        if only and stem not in only:
+            continue
         d = load_scene_file(str(p), ["/res", f"{W}x{H}"])
         s = compile_scene(d)
         img = np.asarray(render(s, W, H, N, jax.random.PRNGKey(SEED)))
