@@ -35,6 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from plutracer_tpu.ops import safemath
 from plutracer_tpu.ops.sampling import cosine_hemisphere_sample
 from plutracer_tpu.scene.types import (
     MAT_DIFFUSE,
@@ -52,9 +53,9 @@ def _dot(a, b):
 
 
 def _normalize(v):
-    # sqrt(sum + eps) keeps the gradient finite at v = 0 (jnp.linalg.norm's
-    # gradient is NaN there)
-    return v * jax.lax.rsqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-30)
+    # guarded rsqrt: plain rsqrt's derivative overflows f32 below
+    # |v|^2 ~ 5e-26 (degenerate dpdu frames) — see ops/safemath.py
+    return v * safemath.safe_rsqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-30)
 
 
 def safe_sqrt(x):
@@ -200,11 +201,16 @@ def bsdf_sample(
     # --- specular reflection (mirror half of MIRROR and GLASS) ---
     wi_r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
     wwi_r = l2w(frame, wi_r)
+    # safe_div: abs_cos_r**2 = 1e-40 flushes to 0 in the plain div
+    # transpose (FTZ) -> NaN on grazing specular lanes even when their
+    # cotangent is zero — one of the two named r4 poison chains
     abs_cos_r = jnp.maximum(jnp.abs(wi_r[..., 2]), 1e-20)[..., None]
-    f_mirror = fresnel_conductor(cos_wo, eta3, k3) * albedo / abs_cos_r
+    f_mirror = safemath.safe_div(
+        fresnel_conductor(cos_wo, eta3, k3) * albedo, abs_cos_r
+    )
     ior = eta3[..., 0]
     fr_glass = fresnel_dielectric_eval(cos_wo, jnp.ones_like(ior), ior)
-    f_glass_r = fr_glass * albedo / abs_cos_r
+    f_glass_r = safemath.safe_div(fr_glass * albedo, abs_cos_r)
 
     # --- specular transmission ---
     def transmission(et_ctor, ei_ctor):
@@ -226,11 +232,9 @@ def bsdf_sample(
         wi = jnp.stack([eta * -wo[..., 0], eta * -wo[..., 1], cos_t], -1)
         fr = fresnel_dielectric_eval(cos_wo, et_ctor, ei_ctor)
         scale = (et * et) / (ei * ei)
-        f = (
-            scale[..., None]
-            * (1.0 - fr)
-            * albedo
-            / jnp.maximum(jnp.abs(cos_t), 1e-20)[..., None]
+        f = safemath.safe_div(
+            scale[..., None] * (1.0 - fr) * albedo,
+            jnp.maximum(jnp.abs(cos_t), 1e-20)[..., None],
         )
         f = jnp.where(tir[..., None], 0.0, f)
         ok = ~tir

@@ -25,6 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from plutracer_tpu.ops import safemath
 from plutracer_tpu.scene.types import PRIM_BOX, PRIM_SPHERE, PRIM_TRIANGLE
 
 T_MAX = 100000.0  # hit_record initial t (inc/cmmn.h:228)
@@ -89,7 +90,10 @@ def triangle_t(o, d, v0, v1, v2):
     pv = jnp.cross(d, e2)
     det = _dot(e1, pv)
     safe_det = jnp.where(det == 0.0, 1.0, det)
-    idet = 1.0 / safe_det
+    # guarded recip: det can be tiny-but-nonzero (near-degenerate ray/
+    # triangle configs); the plain transpose divides by det**2 which
+    # flushes to 0 below |det| ~ 1e-19 — see ops/safemath.py
+    idet = safemath.safe_recip(safe_det)
     tv = o - v0
     u = _dot(tv, pv) * idet
     qv = jnp.cross(tv, e1)
@@ -253,9 +257,13 @@ def query_closest(scene, o, d, options) -> Hit:
     found, prim, t = query_lite(scene, o, d, options)
     backend = _resolve_backend(options)
     if backend != "xla":
-        # one differentiable ray-vs-one-primitive evaluation per ray
+        # one differentiable ray-vs-one-primitive evaluation per ray.
+        # Accept it only when it agrees the ray hits: on knife-edge lanes
+        # the kernel winner and the XLA accept rules can disagree, and a
+        # _BIG sentinel on a found=True lane makes p ~ 1e37 downstream
+        # (overflows dots -> NaN backward; see render/integrator.py)
         t_diff = intersect_prim_t(scene, prim, o, d)
-        t = jnp.where(found, t_diff, t)
+        t = jnp.where(found & (t_diff < T_MAX), t_diff, t)
     return hit_detail(scene, o, d, t, prim, found)
 
 
@@ -340,14 +348,18 @@ def _triangle_detail(o, d, v0, v1, v2, uv0, uv1, uv2):
     e2 = v2 - v0
     pv = jnp.cross(d, e2)
     det = _dot(e1, pv)
-    idet = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    idet = safemath.safe_recip(jnp.where(det == 0.0, 1.0, det))
     tv = o - v0
     u = _dot(tv, pv) * idet
     qv = jnp.cross(tv, e1)
     v = _dot(d, qv) * idet
     w = 1.0 - (u + v)
-    U = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-20)
-    V = e2 / jnp.maximum(jnp.linalg.norm(e2, axis=-1, keepdims=True), 1e-20)
+    # safe_sqrt (finite gradient at 0; primal == linalg.norm) + safe_div
+    # (guard floor squared would flush to 0 in the plain transpose)
+    n1 = safe_sqrt(_dot(e1, e1))[..., None]
+    n2 = safe_sqrt(_dot(e2, e2))[..., None]
+    U = safemath.safe_div(e1, jnp.maximum(n1, 1e-20))
+    V = safemath.safe_div(e2, jnp.maximum(n2, 1e-20))
     norm = jnp.cross(U, V)
     uv = uv0 * u[..., None] + uv1 * v[..., None] + uv2 * w[..., None]
     return norm, uv, U
@@ -365,12 +377,18 @@ def hit_detail_rows(o, d, t, prim, found, rows) -> Hit:
     ptype = rows.ptype
     # clamp t on missed lanes: t = _BIG would overflow p's dot products to
     # inf, and any NaN in masked-off primals still poisons reverse-mode
-    # gradients (0 * NaN = NaN in the vjp)
-    t_safe = jnp.where(found, t, 1.0)
+    # gradients (0 * NaN = NaN in the vjp). Found lanes are additionally
+    # capped at T_MAX in case a sentinel ever leaks through a backend
+    # disagreement (belt to query_closest's braces).
+    t_safe = jnp.where(found, jnp.minimum(t, T_MAX), 1.0)
     p = o + d * t_safe[..., None]
 
     sp_norm = p - a
-    sp_norm = sp_norm * jax.lax.rsqrt(
+    # guarded rsqrt: p ~ a happens constantly on NON-sphere lanes (a is
+    # then a triangle vertex / box corner and p lies on that primitive);
+    # the unselected sphere branch still runs and plain rsqrt's
+    # derivative overflows f32 there — see ops/safemath.py
+    sp_norm = sp_norm * safemath.safe_rsqrt(
         jnp.sum(sp_norm * sp_norm, -1, keepdims=True) + 1e-30
     )
     sn, suv, sdpdu = _sphere_detail(p, sp_norm, a, b[..., 0])

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from plutracer_tpu.ops import intersect
+from plutracer_tpu.ops import intersect, safemath
 from plutracer_tpu.ops.sampling import uniform_sphere_sample
 from plutracer_tpu.ops.tables import (
     LightRows,
@@ -43,7 +43,11 @@ def _dot(a, b):
 
 
 def _normalize(v):
-    return v * jax.lax.rsqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-30)
+    # guarded rsqrt: the plain rsqrt derivative overflows f32 below
+    # |v|^2 ~ 5e-26 (ps ~ p when the shading point sits on the carrier
+    # surface) and one overflowed lane NaNs the summed parameter
+    # gradient — see ops/safemath.py
+    return v * safemath.safe_rsqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-30)
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +114,10 @@ def surface_pdf_rows(rows: PrimRows, p, wi, options: RenderOptions):
     else:
         dist2 = ts * ts
     denom = jnp.abs(_dot(det.norm, -wi)) * rows.area
-    pdf = dist2 / jnp.maximum(denom, 1e-20)
+    # safe_div: the plain transpose divides by denom**2 = 1e-40, which
+    # FTZ flushes to 0 -> 0/0 NaN on zero-cotangent lanes (the r2-r4
+    # TPU scan-backward NaN's largest source — see ops/safemath.py)
+    pdf = safemath.safe_div(dist2, jnp.maximum(denom, 1e-20))
     return jnp.where(found, pdf, 0.0)
 
 
@@ -142,7 +149,8 @@ def sample_light_rows(
     l2p = lrows.pos - p
     len2 = jnp.maximum(_dot(l2p, l2p), 1e-20)
     wi_p = l2p / jnp.sqrt(len2)[..., None]
-    li_p = lrows.intensity / len2[..., None]
+    # safe_div: len2**2 = 1e-40 flushes to 0 in the plain transpose
+    li_p = safemath.safe_div(lrows.intensity, len2[..., None])
     pdf_p = jnp.ones_like(len2)
 
     # diffuse area light (inc/lights/area_light.h:25-31)

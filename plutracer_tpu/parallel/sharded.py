@@ -248,20 +248,24 @@ def make_train_step(
             return _compare(c, target_local)
 
         loss, grads = jax.value_and_grad(local_loss)(params)
-        # sanitize: on TPU at max_bounces=8 the path-tracing backward
-        # emits fully-NaN parameter gradients on ~half of cornell train
-        # steps; the same graph is finite on CPU every time. Round-4
-        # investigation (instrumented cut-bisection): the poison enters
-        # through two chains — the extension bsdf_sample outputs and the
-        # area-light sample/pdf chain — survives pdf clipping, scale
-        # double-wheres, throughput clamps AND jax.checkpoint remat, and
-        # checkify blames an unlocated `div`; an unrolled-python-loop
-        # twin of the same math is clean, implicating XLA:TPU's
-        # scan-backward residual handling of masked-lane infs rather
-        # than our graph. Contained, not fixed: NaN steps are zeroed
-        # (the optimizer skips them) and COUNTED — the fraction is
+        # The r2-r4 "TPU scan-backward NaN" (40-80% of steps) was
+        # root-caused and FIXED in r5 — it was never a scan or XLA bug.
+        # Two compounding defects in our graph: (1) the differentiable-t
+        # recompute took prim_t_rows' _BIG sentinel onto found=True lanes
+        # whenever the Pallas winner and the XLA accept rules disagreed
+        # on a knife edge, putting hit points at ~4e37 whose dot products
+        # overflow to inf (first live-lane inf measured at bounce 5 —
+        # matching NaN onset at max_bounces=6); (2) several guard floors
+        # (1e-20/1e-30 class) whose transposes square the denominator,
+        # which flushes to zero (FTZ) -> 0/0 = NaN even on zero-cotangent
+        # lanes. (1) is fixed by accepting the recompute only when it
+        # agrees the ray hits (integrator.py/intersect.query_closest);
+        # (2) by derivative-guarded ops (ops/safemath.py). CPU was clean
+        # only because its rounding rarely produced the degenerate lanes.
+        # The counting below is kept as a tripwire: the fraction is
         # psum'd, returned from step.many, surfaced by diff.optimize
-        # stats_out, and pinned at 0 on CPU by tests.
+        # stats_out, and pinned at 0 on CPU by tests (and at 0 on TPU by
+        # tools/experiments/nan_repro.py + the flagship artifact).
         grads = {
             f: (g if f in trainable else jnp.zeros_like(g))
             for f, g in grads.items()

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from plutracer_tpu.ops import bsdf as bsdf_ops
-from plutracer_tpu.ops import intersect, lights
+from plutracer_tpu.ops import intersect, lights, safemath
 from plutracer_tpu.ops.tables import (
     gather_light,
     gather_mat,
@@ -50,10 +50,6 @@ from plutracer_tpu.semantics import DEFAULT_OPTIONS, RenderOptions
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
-
-
-def _safe_div(a, b):
-    return a / jnp.where(b == 0.0, 1.0, b)
 
 
 def _nee_contributions(
@@ -81,12 +77,15 @@ def _nee_contributions(
     f = bsdf_ops.bsdf_F_nee(mtype, albedo, n, wwo, ls.wi)
     unoccl = ~shadow_found | (~ls.is_delta & shadow_hits_light)
     b_pdf = bsdf_ops.bsdf_pdf_nee(frame, mtype, wwo, ls.wi)
+    # safe_div in the MIS ratios: the denominator can sit at ~2e-24
+    # (both pdfs at the clip floor) whose square flushes to 0 in the
+    # plain div transpose -> 0/0 NaN (ops/safemath.py)
     bp = clipp(b_pdf)
     lp = clipp(ls.pdf)
     if options.swapped_light_mis_weight:
-        w = bp * bp / (bp * bp + lp * lp)
+        w = safemath.safe_div(bp * bp, bp * bp + lp * lp)
     else:
-        w = lp * lp / (bp * bp + lp * lp)
+        w = safemath.safe_div(lp * lp, bp * bp + lp * lp)
     # the clip floor makes the denominator nonzero, but keep the
     # historical zero-weight outcome when BOTH raw pdfs are zero
     w = jnp.where((b_pdf == 0.0) & (ls.pdf == 0.0), 0.0, w)
@@ -97,7 +96,9 @@ def _nee_contributions(
         & (_dot(f, f) > 0.0)
         & unoccl
     )
-    scale_l = jnp.where(gate_l, jnp.abs(_dot(ls.wi, n)) * w / lp, 0.0)
+    scale_l = jnp.where(
+        gate_l, safemath.safe_div(jnp.abs(_dot(ls.wi, n)) * w, lp), 0.0
+    )
     contrib_l = f * ls.Li * scale_l[..., None]
     contrib_l = jnp.where(gate_l[..., None], contrib_l, 0.0)
 
@@ -105,7 +106,7 @@ def _nee_contributions(
     l_pdf2 = lights.light_pdf_rows(lrows, carrier, p, bs.wwi, options)
     bp2 = clipp(bs.pdf)
     lp2 = clipp(l_pdf2)
-    w2 = bp2 * bp2 / (bp2 * bp2 + lp2 * lp2)
+    w2 = safemath.safe_div(bp2 * bp2, bp2 * bp2 + lp2 * lp2)
     w2 = jnp.where((bs.pdf == 0.0) & (l_pdf2 == 0.0), 0.0, w2)
     w2 = jnp.where(bs.is_specular, 1.0, w2)
     if options.shading_normal_le_gate:
@@ -124,7 +125,9 @@ def _nee_contributions(
         & nee_found
         & (_dot(Li2, Li2) > 0.0)
     )
-    scale_b = jnp.where(gate_b, jnp.abs(_dot(bs.wwi, n)) * w2 / bp2, 0.0)
+    scale_b = jnp.where(
+        gate_b, safemath.safe_div(jnp.abs(_dot(bs.wwi, n)) * w2, bp2), 0.0
+    )
     contrib_b = bs.f * Li2 * scale_b[..., None]
     contrib_b = jnp.where(gate_b[..., None], contrib_b, 0.0)
     return contrib_l, contrib_b
@@ -265,7 +268,15 @@ def ray_color(
     found0, prim0, t0 = intersect.query_lite(scene, o, d, options)
     if diff_t:
         rows0 = gather_prim(tables, prim0)
-        t0 = jnp.where(found0, intersect.prim_t_rows(o, d, rows0), t0)
+        t0d = intersect.prim_t_rows(o, d, rows0)
+        # accept the differentiable recompute ONLY when it agrees the ray
+        # hits: on knife-edge lanes the Pallas winner and the XLA accept
+        # rules can disagree, and taking the recompute's _BIG sentinel
+        # onto a found=True lane puts p at ~4e37 — whose downstream dot
+        # products overflow to inf and NaN the whole backward (r5
+        # root-cause of the "TPU scan-backward NaN", measured: the 1e37
+        # p's appear at bounce 2, the first inf at bounce 5)
+        t0 = jnp.where(found0 & (t0d < intersect.T_MAX), t0d, t0)
 
     def body(carry, i):
         o, d, T, L, prev_spec, alive, found, prim, t = carry
@@ -350,19 +361,21 @@ def ray_color(
         # _nee_contributions and the throughput note in semantics.py
         w_b = jnp.minimum(
             bs.f
-            * (
-                jnp.abs(_dot(bs.wwi, hit.norm))
-                / jnp.clip(bs.pdf, 1e-12, 1e9)
+            * safemath.safe_div(
+                jnp.abs(_dot(bs.wwi, hit.norm)),
+                jnp.clip(bs.pdf, 1e-12, 1e9),
             )[..., None],
             1.0e12,
         )
         T_next = jnp.minimum(T * w_b, 1.0e16)
         T = jnp.where(alive_next[..., None], T_next, T)
 
-        # differentiable t recompute for non-AD backends (see query_closest)
+        # differentiable t recompute for non-AD backends (see query_closest;
+        # _BIG-sentinel guard as at the primary hit above)
         if diff_t:
             xrows = gather_prim(tables, xp)
-            xt = jnp.where(xf, intersect.prim_t_rows(hit.p, bs.wwi, xrows), xt)
+            xtd = intersect.prim_t_rows(hit.p, bs.wwi, xrows)
+            xt = jnp.where(xf & (xtd < intersect.T_MAX), xtd, xt)
         ys = jnp.stack([t_emit, t_nee_l, t_nee_b], 0) if terms else None
         return (hit.p, bs.wwi, T, L, bs.is_specular, alive_next, xf, xp, xt), ys
 
