@@ -1997,11 +1997,26 @@ def _ray_color_stream_wavefront(scene, tables, o, d, key, options,
         # is skipped: camera rays arrive pixel-ordered (already coherent).
         if i > 0 and sort_mode != "none":
             live = (st["av"] != 0.0) & (st["t"] < T_MAX)
-            if sort_mode == "morton":
+            if sort_mode in ("morton", "morton5"):
                 ox = jnp.stack([st["ox"], st["oy"], st["oz"]], -1)
-                keym = jnp.where(
-                    live, _morton_key(ox, lo, hi), jnp.int32(2**30)
-                )
+                keym = _morton_key(ox, lo, hi)
+                if sort_mode == "morton5":
+                    # direction-aware key: 3 octant bits ahead of a
+                    # 27-bit origin Morton. Origin-only sorting buys no
+                    # cull coherence (diffuse bounce directions are
+                    # isotropic, so origin-sorted tiles still union-hit
+                    # every cluster — PERF.md r4); octant-major grouping
+                    # gives each (32,128) tile a shared direction cone,
+                    # which lets the per-chunk cluster cull reject the
+                    # half-space behind the tile.
+                    dv = [st["dx"], st["dy"], st["dz"]]
+                    octant = (
+                        (dv[0] >= 0.0).astype(jnp.int32) * 4
+                        + (dv[1] >= 0.0).astype(jnp.int32) * 2
+                        + (dv[2] >= 0.0).astype(jnp.int32)
+                    )
+                    keym = (octant << 27) | (keym >> 3)
+                keym = jnp.where(live, keym, jnp.int32(2**30))
                 perm = jnp.argsort(keym)
             else:  # "compact": cumsum stable partition (no full sort)
                 n_alive = jnp.sum(live.astype(jnp.int32))

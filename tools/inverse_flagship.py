@@ -109,6 +109,10 @@ def main(argv=None):
     ap.add_argument("--phase2-lr-albedo", type=float, default=1e-2)
     ap.add_argument("--phase2-lr-emission", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init-from", default=None,
+                    help="resume: initialize parameters from a prior run's "
+                         "output json (recovered_albedo/recovered_emission) "
+                         "instead of the canonical perturbation")
     ap.add_argument("--out", default="INVERSE_r04.json")
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--platform", default=None,
@@ -145,6 +149,15 @@ def main(argv=None):
     # perturb: diffuse walls -> flat grey, emission -> 25% of true
     init["mat_color"][diffuse_rows] = 0.25
     init["light_intensity"] = init["light_intensity"] * 0.25
+    if args.init_from:
+        prev = json.loads(Path(args.init_from).read_text())
+        init["mat_color"][diffuse_rows] = np.asarray(
+            prev["recovered_albedo"], np.float32
+        )
+        init["light_intensity"] = np.asarray(
+            prev["recovered_emission"], np.float32
+        )
+        print(f"[flagship] resumed params from {args.init_from}", flush=True)
     init = {k: jax.numpy.asarray(v) for k, v in init.items()}
 
     # freeze every non-diffuse mat_color row (mirror/glass tints are at
