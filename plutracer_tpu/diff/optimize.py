@@ -50,6 +50,9 @@ class InverseRenderConfig:
     # k x k average-pool rendered/target images before the ab loss
     # (unbiased variance reduction; see make_train_step)
     loss_downsample: int = 1
+    # firefly clamp: bound both rendered and target linear radiance
+    # before the loss (bounded-influence estimator; see make_train_step)
+    loss_clamp: float = 0.0
 
 
 def optimize_scene(
@@ -78,6 +81,7 @@ def optimize_scene(
         trainable=config.trainable, grad_mask=config.grad_mask,
         project_nonnegative=config.project_nonnegative,
         loss_downsample=config.loss_downsample,
+        loss_clamp=config.loss_clamp,
     )
     params = init_params if init_params is not None else get_params(scene)
     opt_state = step.init(params)

@@ -61,6 +61,15 @@ TILE = (32, 128)
 # size O(1) in P, table VMEM ~P*128*4 B). M/T/L stay select-chain sized.
 MAX_P = 64
 MAX_P_STREAM = 40960
+# HBM tier (r5): MegaPack tables with at least HBM_MIN_ROWS rows stay in
+# HBM (memory_space=ANY) and are walked through a double-buffered
+# SLAB_ROWS-row VMEM scratch via async DMA — P is no longer bounded by
+# VMEM. Tables below the threshold keep the r3/r4 all-VMEM fast path.
+# The threshold is a module global so tests can force tiny tables onto
+# the HBM path (tests/test_megakernel.py).
+SLAB_ROWS = 1024
+HBM_MIN_ROWS = 24576
+MAX_P_HBM = 1 << 20
 MAX_ATLAS = 4096  # image-atlas texels the unrolled kernel will VMEM-pin
 MAX_M = 16
 MAX_T = 8
@@ -70,14 +79,23 @@ INV_PI = 1.0 / 3.14159265358979323846
 PI = 3.14159265358979323846
 
 
+def _vmem_rows_ok(mega) -> bool:
+    """VMEM-resident MegaPack rows (tables below the HBM threshold) must
+    fit the r3/r4 all-VMEM budget; HBM-tier tables are unbounded by it."""
+    rows = [t.shape[0] for t in (mega.sph, mega.box, mega.tri)]
+    return sum(r for r in rows if r < HBM_MIN_ROWS) <= MAX_P_STREAM
+
+
 def megakernel_eligible(scene, options) -> bool:
     """Static qualification (shapes only — safe under jit tracing)."""
     A = scene.atlas.shape[0]
     P = scene.prim_type.shape[0]
+    mega = getattr(scene, "prims_mega", None)
     return (
         getattr(scene, "prims_packed", None) is not None
-        and (P <= MAX_P or getattr(scene, "prims_mega", None) is not None)
-        and P <= MAX_P_STREAM
+        and (P <= MAX_P or mega is not None)
+        and (P <= MAX_P_STREAM or (mega is not None and _vmem_rows_ok(mega)))
+        and P <= MAX_P_HBM
         and scene.mat_type.shape[0] <= MAX_M
         and scene.tex_type.shape[0] <= MAX_T
         and 1 <= scene.light_type.shape[0] <= MAX_L
@@ -186,6 +204,11 @@ def pack_mega_np(scene):
         idx = idx[np.argsort(codes[idx], kind="stable")]
         n = idx.size
         n_pad = -(-max(n, 1) // PCHUNK) * PCHUNK if n else 0
+        if n_pad >= HBM_MIN_ROWS:
+            # HBM-tier table: DMA'd in SLAB_ROWS slabs — round up so the
+            # slab loop needs no partial-slab handling (padding rows are
+            # never-hit, all-padding chunks carry empty cluster AABBs)
+            n_pad = -(-n_pad // SLAB_ROWS) * SLAB_ROWS
         tbl = np.zeros((n_pad, MEGA_W), np.float32)
         if n:
             tbl[:n] = rows[idx]
@@ -1296,25 +1319,82 @@ def _cluster_hit(chunk, o, rinv, bt):
     return (tmax >= tmin) & (tmax >= 0.0) & (tmin < bt)
 
 
-def _closest_stream(tbls, o, d, cull=True, live=None):
-    """Brute-force closest hit streaming the per-type chunked tables.
-    tbls: [(ptype, ref, offset)] with offset the table's base in the
-    concatenated winner-id space. `live` masks lanes whose result matters
-    (dead lanes carry stale rays that would otherwise defeat the cull).
-    Returns (found, prim, t)."""
+def _stream_chunks(entry, carry, chunk_body):
+    """Walk every PCHUNK-row chunk of one MegaPack table, calling
+    chunk_body(chunk_values, chunk_base_row, carry) -> carry.
+
+    entry: (ptype, ref, offset, hbm_ctx). hbm_ctx None = the table is a
+    VMEM block, chunks are sliced directly (the r3/r4 path). hbm_ctx =
+    (scratch, sem) = the table lives in HBM (memory_space=ANY): walk it
+    in SLAB_ROWS-row slabs through a double-buffered VMEM scratch with
+    async DMA — next slab's copy is in flight while the current slab's
+    chunks are processed, so for any non-trivial per-row work the DMA is
+    fully hidden (HBM traffic for a full walk is table-bytes per ray
+    tile; at the P where this tier engages, brute-force FLOPs dominate
+    it by >100x — PERF.md r5)."""
     import jax.experimental.pallas as pl
 
+    ty, ref, off, hbm = entry
+    if hbm is None:
+        nch = ref.shape[0] // PCHUNK
+
+        def body(ci, carry):
+            base = pl.multiple_of(ci * PCHUNK, PCHUNK)
+            return chunk_body(ref[pl.ds(base, PCHUNK), :], base, carry)
+
+        return jax.lax.fori_loop(0, nch, body, carry)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    scratch, sem = hbm
+    nrows = ref.shape[0]
+    assert nrows % SLAB_ROWS == 0, "HBM tables are SLAB_ROWS-padded at pack"
+    nslab = nrows // SLAB_ROWS
+    cps = SLAB_ROWS // PCHUNK
+
+    def get_dma(slot, si):
+        return pltpu.make_async_copy(
+            ref.at[pl.ds(si * SLAB_ROWS, SLAB_ROWS), :],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def slab_body(si, carry):
+        slot = jax.lax.rem(si, 2)
+
+        @pl.when(si + 1 < nslab)
+        def _():
+            get_dma(jax.lax.rem(si + 1, 2), si + 1).start()
+
+        get_dma(slot, si).wait()
+
+        def cbody(cj, carry):
+            base = cj * PCHUNK
+            chunk = scratch[slot, pl.ds(base, PCHUNK), :]
+            return chunk_body(chunk, si * SLAB_ROWS + base, carry)
+
+        return jax.lax.fori_loop(0, cps, cbody, carry)
+
+    return jax.lax.fori_loop(0, nslab, slab_body, carry)
+
+
+def _closest_stream(tbls, o, d, cull=True, live=None):
+    """Brute-force closest hit streaming the per-type chunked tables.
+    tbls: [(ptype, ref, offset, hbm_ctx)] with offset the table's base in
+    the concatenated winner-id space. `live` masks lanes whose result
+    matters (dead lanes carry stale rays that would otherwise defeat the
+    cull). Returns (found, prim, t)."""
     best_t = jnp.full(TILE, _BIG)
     best_p = jnp.zeros(TILE, jnp.int32)
     rinv = tuple(1.0 / jnp.where(c == 0.0, 1e-20, c) for c in d)
 
-    for ty, ref, off in tbls:
-        nch = ref.shape[0] // PCHUNK
+    for entry in tbls:
+        ty, _ref, off = entry[0], entry[1], entry[2]
 
-        def body(ci, carry, ty=ty, ref=ref, off=off):
+        def body(chunk, base, carry, ty=ty, off=off):
             bt, bp = carry
-            base = pl.multiple_of(ci * PCHUNK, PCHUNK)
-            chunk = ref[pl.ds(base, PCHUNK), :]
 
             def work(carry):
                 bt, bp = carry
@@ -1347,7 +1427,7 @@ def _closest_stream(tbls, o, d, cull=True, live=None):
                 return jax.lax.cond(jnp.any(hit), work, lambda c_: c_, (bt, bp))
             return work((bt, bp))
 
-        best_t, best_p = jax.lax.fori_loop(0, nch, body, (best_t, best_p))
+        best_t, best_p = _stream_chunks(entry, (best_t, best_p), body)
     return best_t < T_MAX, best_p, best_t
 
 
@@ -1368,15 +1448,13 @@ def _closest_stream3(tbls, o, d1, d2, d3, cull=True, live=None):
     rinvs = [tuple(1.0 / jnp.where(c == 0.0, 1e-20, c) for c in d)
              for d in ds]
 
-    for ty, ref, off in tbls:
-        nch = ref.shape[0] // PCHUNK
+    for entry in tbls:
+        ty, _ref, off = entry[0], entry[1], entry[2]
 
-        def body(ci, carry, ty=ty, ref=ref, off=off):
+        def body(chunk, base, carry, ty=ty, off=off):
             bt1, bt2, bt3, bp1, bp2, bp3 = carry
             bts = [bt1, bt2, bt3]
             bps = [bp1, bp2, bp3]
-            base = pl.multiple_of(ci * PCHUNK, PCHUNK)
-            chunk = ref[pl.ds(base, PCHUNK), :]
 
             def work(carry):
                 bt1, bt2, bt3, bp1, bp2, bp3 = carry
@@ -1467,8 +1545,8 @@ def _closest_stream3(tbls, o, d1, d2, d3, cull=True, live=None):
                                     tuple(bts) + tuple(bps))
             return work(tuple(bts) + tuple(bps))
 
-        out = jax.lax.fori_loop(
-            0, nch, body, (bts[0], bts[1], bts[2], bps[0], bps[1], bps[2])
+        out = _stream_chunks(
+            entry, (bts[0], bts[1], bts[2], bps[0], bps[1], bps[2]), body
         )
         bts = [out[0], out[1], out[2]]
         bps = [out[3], out[4], out[5]]
@@ -1483,16 +1561,12 @@ def _fetch_stream(tbls, idx, spec):
     the ~15 output arrays lowers to per-chunk copies of the whole carry
     (measured 100x slower on mesh0); the unconditional masked select chain
     is bandwidth-trivial VPU work."""
-    import jax.experimental.pallas as pl
-
     cols = _spec_cols(spec)
     outs = tuple(jnp.zeros(TILE) for _ in cols)
-    for ty, ref, off in tbls:
-        nch = ref.shape[0] // PCHUNK
+    for entry in tbls:
+        off = entry[2]
 
-        def body(ci, outs, ref=ref, off=off):
-            base = pl.multiple_of(ci * PCHUNK, PCHUNK)
-            chunk = ref[pl.ds(base, PCHUNK), :]
+        def body(chunk, base, outs, off=off):
             local = idx - (off + base)
             for k in range(PCHUNK):
                 m = local == k
@@ -1501,14 +1575,18 @@ def _fetch_stream(tbls, idx, spec):
                 )
             return outs
 
-        outs = jax.lax.fori_loop(0, nch, body, outs)
+        outs = _stream_chunks(entry, outs, body)
     return _spec_to_dict(spec, list(outs))
 
 
 def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
-                         one_bounce=False):
+                         one_bounce=False, hbm=(False, False, False)):
     """Streaming-kernel builder. shapes: ((Psph, Pbox, Ptri)) static row
     counts of the MegaPack tables (0 = table absent, not passed).
+    hbm: per-type flags — True means that table arrives in HBM
+    (memory_space=ANY) and is walked via DMA slabs (_stream_chunks); its
+    (2, SLAB_ROWS, MEGA_W) scratch + DMA semaphore pair arrive as
+    trailing scratch refs in table order.
 
     one_bounce=True builds the WAVEFRONT step kernel instead: the full
     per-ray carry (o, d, T, L, prev_spec, alive, prim, t) enters and
@@ -1527,16 +1605,23 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
     fetch = _fetch_from
 
     Psph, Pbox, Ptri = shapes
-    type_info = []  # (ptype, ref argument position, offset)
+    type_info = []  # (ptype, ref argument position, offset, is_hbm)
     off = 0
-    for ty, n in ((PRIM_SPHERE, Psph), (PRIM_BOX, Pbox),
-                  (PRIM_TRIANGLE, Ptri)):
+    for (ty, n), is_h in zip(
+        ((PRIM_SPHERE, Psph), (PRIM_BOX, Pbox), (PRIM_TRIANGLE, Ptri)), hbm
+    ):
         if n:
-            type_info.append((ty, len(type_info), off))
+            type_info.append((ty, len(type_info), off, is_h))
             off += n
+    n_hbm = sum(1 for *_x, is_h in type_info if is_h)
 
-    def _env(prim_refs, mat_ref, tex_ref, light_ref):
-        tbls = [(ty, prim_refs[pos], toff) for ty, pos, toff in type_info]
+    def _env(prim_refs, mat_ref, tex_ref, light_ref, scratches):
+        # scratches: [(scratch, sem)] in table order, HBM tables only
+        sit = iter(scratches)
+        tbls = [
+            (ty, prim_refs[pos], toff, next(sit) if is_h else None)
+            for ty, pos, toff, is_h in type_info
+        ]
         # small tables preloaded as scalar rows (loop-invariant)
         mat_tbl = [tuple(mat_ref[k, c] for c in range(11)) for k in range(M)]
         tex_tbl = [tuple(tex_ref[k, c] for c in range(9)) for k in range(T)]
@@ -1549,11 +1634,26 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
         for l in range(L):
             cid = jnp.maximum(light_tbl[l][7].astype(jnp.int32), 0)
             vals = None
-            for ty, pos, toff in type_info:
+            for ty, pos, toff, is_h in type_info:
                 ref = prim_refs[pos]
                 n = ref.shape[0]
                 loc = jnp.clip(cid - toff, 0, n - 1)
-                row = ref[pl.ds(loc, 1), :]
+                if is_h:
+                    # HBM ref: no direct indexing — DMA the one row into
+                    # the table's slab scratch (runs once, pre-walk)
+                    from jax.experimental.pallas import tpu as pltpu
+
+                    scratch, sem = tbls[pos][3]
+                    cp = pltpu.make_async_copy(
+                        ref.at[pl.ds(loc, 1), :],
+                        scratch.at[0, pl.ds(0, 1), :],
+                        sem.at[0],
+                    )
+                    cp.start()
+                    cp.wait()
+                    row = scratch[0, pl.ds(0, 1), :]
+                else:
+                    row = ref[pl.ds(loc, 1), :]
                 sc = tuple(row[0, c] for c in range(28))
                 if vals is None:
                     vals = sc
@@ -1746,8 +1846,18 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
                     xp, jnp.where(xf, xt, _BIG))
         return body
 
+    def _split_scratch(refs):
+        # scratch refs (scratch, sem per HBM table) trail the outputs
+        if not n_hbm:
+            return refs, []
+        tail = refs[len(refs) - 2 * n_hbm :]
+        return refs[: len(refs) - 2 * n_hbm], [
+            (tail[2 * i], tail[2 * i + 1]) for i in range(n_hbm)
+        ]
+
     def kernel(*refs):
         ntab = len(type_info)
+        refs, scratches = _split_scratch(refs)
         prim_refs = refs[:ntab]
         mat_ref, tex_ref, light_ref = refs[ntab : ntab + 3]
         oxr, oyr, ozr, dxr, dyr, dzr, u_ref = refs[ntab + 3 : ntab + 10]
@@ -1755,7 +1865,7 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
         dbg_refs = refs[ntab + 13 :]
 
         tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl = _env(
-            prim_refs, mat_ref, tex_ref, light_ref)
+            prim_refs, mat_ref, tex_ref, light_ref, scratches)
         o0 = (oxr[:, :], oyr[:, :], ozr[:, :])
         d0 = (dxr[:, :], dyr[:, :], dzr[:, :])
         zero = jnp.zeros(TILE)
@@ -1782,6 +1892,7 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
     def kernel_ob(*refs):
         # WAVEFRONT step: one bounce over an externally-sorted carry
         ntab = len(type_info)
+        refs, scratches = _split_scratch(refs)
         prim_refs = refs[:ntab]
         mat_ref, tex_ref, light_ref, i_ref = refs[ntab : ntab + 4]
         (oxr, oyr, ozr, dxr, dyr, dzr, txr, tyr, tzr, lxr0, lyr0, lzr0,
@@ -1790,7 +1901,7 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
          pso, avo, po, to) = refs[ntab + 21 :]
 
         tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl = _env(
-            prim_refs, mat_ref, tex_ref, light_ref)
+            prim_refs, mat_ref, tex_ref, light_ref, scratches)
 
         def u_at(i, j):
             return u_ref[pl.ds(j, 1), :, :].reshape(TILE)
@@ -1830,16 +1941,22 @@ def _megakernel_call_stream(prim_tbls, mat, tex, light, ox, oy, oz,
                             interpret=False, debug=False):
     import jax.experimental.pallas as pl
 
+    from jax.experimental.pallas import tpu as pltpu
+
     Bs = ox.shape[0]
     mb = options.max_bounces
     shapes = tuple(
         t.shape[0] if t is not None and t.shape[0] else 0 for t in prim_tbls
     )
+    hbm = tuple(n >= HBM_MIN_ROWS for n in shapes)
     present = [t for t in prim_tbls if t is not None and t.shape[0]]
+    present_hbm = [h for t, h in zip(prim_tbls, hbm)
+                   if t is not None and t.shape[0]]
     kernel = _build_kernel_stream(shapes, M, T, L, num_lights, options,
-                                  debug=debug)
+                                  debug=debug, hbm=hbm)
     ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     u_spec = pl.BlockSpec((u.shape[0], 32, 128), lambda i: (0, i, 0))
     out_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     out_specs = [out_spec] * 3
@@ -1851,14 +1968,23 @@ def _megakernel_call_stream(prim_tbls, mat, tex, light, ox, oy, oz,
         out_shape.append(
             jax.ShapeDtypeStruct((mb * DBG_C, Bs, 128), jnp.float32)
         )
+    scratch_shapes = []
+    for h in present_hbm:
+        if h:
+            scratch_shapes += [
+                pltpu.VMEM((2, SLAB_ROWS, MEGA_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
     outs = pl.pallas_call(
         kernel,
         grid=(Bs // 32,),
-        in_specs=[table_spec(t) for t in present]
+        in_specs=[hbm_spec if h else table_spec(t)
+                  for t, h in zip(present, present_hbm)]
         + [table_spec(mat), table_spec(tex), table_spec(light)]
         + [ray_spec] * 6 + [u_spec],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*present, mat, tex, light, ox, oy, oz, dx, dy, dz, u)
     return outs
@@ -1873,26 +1999,41 @@ def _megakernel_call_stream_onebounce(prim_tbls, mat, tex, light, iv, carry,
     next carry."""
     import jax.experimental.pallas as pl
 
+    from jax.experimental.pallas import tpu as pltpu
+
     Bs = carry[0].shape[0]
     shapes = tuple(
         t.shape[0] if t is not None and t.shape[0] else 0 for t in prim_tbls
     )
+    hbm = tuple(n >= HBM_MIN_ROWS for n in shapes)
     present = [t for t in prim_tbls if t is not None and t.shape[0]]
+    present_hbm = [h for t, h in zip(prim_tbls, hbm)
+                   if t is not None and t.shape[0]]
     kernel = _build_kernel_stream(shapes, M, T, L, num_lights, options,
-                                  one_bounce=True)
+                                  one_bounce=True, hbm=hbm)
     ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     u_spec = pl.BlockSpec((12, 32, 128), lambda i: (0, i, 0))
     dt = [jnp.float32] * 14 + [jnp.int32, jnp.float32]
+    scratch_shapes = []
+    for h in present_hbm:
+        if h:
+            scratch_shapes += [
+                pltpu.VMEM((2, SLAB_ROWS, MEGA_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
     outs = pl.pallas_call(
         kernel,
         grid=(Bs // 32,),
-        in_specs=[table_spec(t) for t in present]
+        in_specs=[hbm_spec if h else table_spec(t)
+                  for t, h in zip(present, present_hbm)]
         + [table_spec(mat), table_spec(tex), table_spec(light),
            table_spec(iv)]
         + [ray_spec] * 16 + [u_spec],
         out_specs=[ray_spec] * 16,
         out_shape=[jax.ShapeDtypeStruct((Bs, 128), t) for t in dt],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*present, mat, tex, light, iv, *carry, u)
     return outs

@@ -152,6 +152,7 @@ def make_train_step(
     grad_mask: Optional[Dict[str, Any]] = None,
     project_nonnegative: bool = False,
     loss_downsample: int = 1,
+    loss_clamp: float = 0.0,
 ):
     """Build a jitted, sharded inverse-rendering step.
 
@@ -186,6 +187,19 @@ def make_train_step(
     grad_mask: optional per-entry 0/1 mask (same field names/shapes as the
       params, broadcastable) multiplied into the gradients — e.g. freeze
       the mirror/glass rows of mat_color while fitting the diffuse walls.
+    loss_clamp (> 0): clamp BOTH the rendered and the target linear
+      radiance at this value before the loss — a bounded-influence
+      firefly clamp. Path-traced radiance is heavy-tailed (degenerate
+      specular chains reach the 1e12 throughput clamp), and under that
+      skew adam's sign-following walks parameters AWAY from the optimum:
+      measured at 512^2, the unclamped pooled-ab phase-2 runs albedo MAE
+      0.115 -> 0.46 MONOTONICALLY while the loss sits at its ~4e7 noise
+      floor. (r4's 256^2 run did not show this only because the NaN-step
+      rejection was silently dropping exactly the firefly steps; the r5
+      NaN fix unmasked the tail.) Clamping both sides keeps the
+      objective consistent — its optimum is the parameters matching the
+      clamped target, a tiny bias for diffuse-dominated parameters —
+      while bounding every sample's influence.
     """
     import optax
 
@@ -225,17 +239,20 @@ def make_train_step(
             x = x.reshape(height // kk, kk, width // kk, kk, 3)
             return x.mean(axis=(1, 3)).reshape(-1, 3)
 
+        def clampf(x):
+            return jnp.minimum(x, loss_clamp) if loss_clamp > 0 else x
+
         def local_loss(params):
             sc = apply_params(scene, params)
             if loss_space == "ab":
                 ka, kb = jax.random.split(k)
-                xa = _trace_stratum(sc, px_local, stratum, n, ka, options)
-                xb = _trace_stratum(sc, px_local, stratum, n, kb, options)
+                xa = clampf(_trace_stratum(sc, px_local, stratum, n, ka, options))
+                xb = clampf(_trace_stratum(sc, px_local, stratum, n, kb, options))
                 if loss_downsample > 1:
                     xa, xb = pool(xa), pool(xb)
-                    tl = pool(target_local)
+                    tl = pool(clampf(target_local))
                 else:
-                    tl = target_local
+                    tl = clampf(target_local)
                 da = xa - tl
                 db = xb - tl
                 # normalize by the GLOBAL (pooled) pixel count so the psum
@@ -243,9 +260,9 @@ def make_train_step(
                 # per-shard count, which on multi-tile meshes is 1/d_tiles
                 # of the image (pooling itself requires d_tiles == 1)
                 return jnp.sum(da * db) / (da.shape[0] * 3 * d_tiles)
-            c = _trace_stratum(sc, px_local, stratum, n, k, options)
+            c = clampf(_trace_stratum(sc, px_local, stratum, n, k, options))
             # mean over the full (padded) pixel count; psum completes it
-            return _compare(c, target_local)
+            return _compare(c, clampf(target_local))
 
         loss, grads = jax.value_and_grad(local_loss)(params)
         # The r2-r4 "TPU scan-backward NaN" (40-80% of steps) was

@@ -44,3 +44,47 @@ def test_optimize_recovers_texture_colors(eight_devices):
     err_final = np.abs(got_c - true_c).mean()
     assert err_final < 0.4 * err_init, (err_init, err_final, got_c)
     assert (np.asarray(params["tex_c1"]) >= 0).all()  # projection held
+
+
+def test_loss_clamp_consistent_estimator(eight_devices):
+    """loss_clamp: with the TARGET built by the same clamped 1-spp
+    estimator, the pooled/clamped ab loss keeps its optimum at the true
+    parameters (measured r5: clamping only the high-spp target moves the
+    optimum — asymmetric clamps lose different tail mass). Cheap CPU
+    check: a short clamped run from a perturbed point must move albedo
+    toward truth, not away (the r5 512^2 failure mode)."""
+    import jax.numpy as jnp
+
+    from plutracer_tpu.render.renderer import _trace_stratum, pixel_centers
+    from plutracer_tpu.semantics import DEFAULT_OPTIONS
+
+    d = load_scene_file("/root/reference/scenes/room.urn", ["/res", "24x18"])
+    scene = compile_scene(d)
+    clamp = 5.0
+    px0 = jnp.asarray(pixel_centers(24, 18))
+
+    # consistent clamped target: mean of per-1-spp-pass clamped renders
+    def body(acc, i):
+        c = _trace_stratum(scene, px0, jax.random.fold_in(
+            jax.random.PRNGKey(11), i), i % 4, 2, DEFAULT_OPTIONS)
+        return acc + jnp.minimum(c, clamp), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((24 * 18, 3)),
+                          jnp.arange(16, dtype=jnp.int32))
+    target = np.asarray(acc / 16).reshape(18, 24, 3)
+
+    true_params = get_params(scene)
+    init = dict(true_params)
+    init["tex_c1"] = true_params["tex_c1"] * 0.25
+
+    cfg = InverseRenderConfig(
+        width=24, height=18, n=2, steps=80, learning_rate=3e-2,
+        mesh_shape=(4, 2), log_every=1000, trainable=("tex_c1",),
+        loss_clamp=clamp,
+    )
+    params, _ = optimize_scene(scene, target, cfg, init_params=init)
+    err0 = float(np.abs(np.asarray(init["tex_c1"])
+                        - np.asarray(true_params["tex_c1"])).mean())
+    err1 = float(np.abs(np.asarray(params["tex_c1"])
+                        - np.asarray(true_params["tex_c1"])).mean())
+    assert err1 < 0.5 * err0, (err0, err1)

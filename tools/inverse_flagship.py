@@ -108,6 +108,12 @@ def main(argv=None):
                          "noise — the SNR lever that makes albedo converge")
     ap.add_argument("--phase2-lr-albedo", type=float, default=1e-2)
     ap.add_argument("--phase2-lr-emission", type=float, default=1.0)
+    ap.add_argument("--phase2-clamp", type=float, default=0.0,
+                    help="firefly clamp on linear radiance (render AND "
+                         "target) in the phase-2 loss; bounded-influence "
+                         "estimator against adam's sign-following walking "
+                         "away under heavy-tailed MC noise (see "
+                         "make_train_step loss_clamp)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init-from", default=None,
                     help="resume: initialize parameters from a prior run's "
@@ -143,6 +149,45 @@ def main(argv=None):
     t_target = time.time() - t0
     print(f"[flagship] target rendered: {args.target_n ** 2} spp "
           f"in {t_target:.1f}s", flush=True)
+
+    target2 = target
+    if args.phase2_clamp > 0:
+        # CONSISTENT-ESTIMATOR clamped target for phase 2: average of
+        # per-1-spp-pass CLAMPED renders — the same map theta ->
+        # E[min(X_1spp, c)] the training loss sees, so the pooled-ab
+        # optimum is exactly the true parameters. Clamping a high-spp
+        # target instead is asymmetric (the 1-spp estimator loses
+        # E[X 1(X>c)] that the concentrated 256-spp pixels keep) and was
+        # measured to move the optimum: mean ab loss at truth 1.465 vs
+        # 1.423 at flat-grey albedo -> phase 2 walked AWAY from truth.
+        import functools
+        import jax.numpy as jnp
+
+        from plutracer_tpu.render.renderer import (_trace_stratum,
+                                                   pixel_centers)
+        from plutracer_tpu.semantics import DEFAULT_OPTIONS
+
+        px0 = jnp.asarray(pixel_centers(W, H))
+        nt = args.target_n
+
+        @jax.jit
+        def _clamped_target(key):
+            def body(acc, i):
+                c = _trace_stratum(scene, px0, jax.random.fold_in(key, i),
+                                   i % (nt * nt), nt, DEFAULT_OPTIONS)
+                return acc + jnp.minimum(c, args.phase2_clamp), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((px0.shape[0], 3)),
+                jnp.arange(nt * nt, dtype=jnp.int32),
+            )
+            return acc / (nt * nt)
+
+        t0 = time.time()
+        target2 = np.asarray(_clamped_target(jax.random.PRNGKey(100))
+                             ).reshape(H, W, 3)
+        print(f"[flagship] clamped target ({args.phase2_clamp}) rendered "
+              f"in {time.time()-t0:.1f}s", flush=True)
 
     true_p = get_params(scene)
     init = {k: np.asarray(v).copy() for k, v in true_p.items()}
@@ -246,6 +291,7 @@ def main(argv=None):
             optimizer=opt2, grad_mask=mask, loss_space=args.phase2_loss,
             loss_downsample=(args.phase2_downsample
                              if args.phase2_loss == "ab" else 1),
+            loss_clamp=args.phase2_clamp,
             mesh_shape=(1, 1),
         )
         stats2 = {}
@@ -254,7 +300,7 @@ def main(argv=None):
         # phase-2 (single-tile, pooling-capable) mesh
         params = {k: np.asarray(v) for k, v in params.items()}
         params, losses2 = optimize_scene(
-            scene, target, cfg2, init_params=params, callback=cb2,
+            scene, target2, cfg2, init_params=params, callback=cb2,
             stats_out=stats2,
         )
         losses = losses + losses2
