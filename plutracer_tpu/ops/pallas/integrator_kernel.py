@@ -204,14 +204,18 @@ def pack_mega_np(scene):
         idx = idx[np.argsort(codes[idx], kind="stable")]
         n = idx.size
         n_pad = -(-max(n, 1) // PCHUNK) * PCHUNK if n else 0
+        width = MEGA_W
         if n_pad >= HBM_MIN_ROWS:
-            # HBM-tier table: DMA'd in SLAB_ROWS slabs — round up so the
-            # slab loop needs no partial-slab handling (padding rows are
-            # never-hit, all-padding chunks carry empty cluster AABBs)
+            # HBM-tier table: DMA'd in SLAB_ROWS slabs — round rows up so
+            # the slab loop needs no partial-slab handling (padding rows
+            # are never-hit, all-padding chunks carry empty cluster
+            # AABBs), and pad the lane dim to 128: Mosaic requires DMA
+            # slice shapes 128-aligned on the minor dimension
             n_pad = -(-n_pad // SLAB_ROWS) * SLAB_ROWS
-        tbl = np.zeros((n_pad, MEGA_W), np.float32)
+            width = 128
+        tbl = np.zeros((n_pad, width), np.float32)
         if n:
-            tbl[:n] = rows[idx]
+            tbl[:n, :MEGA_W] = rows[idx]
             new_index[idx] = offset + np.arange(n)
             # never-hit padding (see intersect_kernel.pack_prims_np notes)
             tbl[n:, 0] = t
@@ -1349,6 +1353,7 @@ def _stream_chunks(entry, carry, chunk_body):
     scratch, sem = hbm
     nrows = ref.shape[0]
     assert nrows % SLAB_ROWS == 0, "HBM tables are SLAB_ROWS-padded at pack"
+    assert ref.shape[1] == 128, "HBM tables are 128-col-padded at pack"
     nslab = nrows // SLAB_ROWS
     cps = SLAB_ROWS // PCHUNK
 
@@ -1639,19 +1644,21 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
                 n = ref.shape[0]
                 loc = jnp.clip(cid - toff, 0, n - 1)
                 if is_h:
-                    # HBM ref: no direct indexing — DMA the one row into
-                    # the table's slab scratch (runs once, pre-walk)
+                    # HBM ref: no direct indexing — DMA a sublane-aligned
+                    # 8-row window into the table's slab scratch (runs
+                    # once, pre-walk) and pick the row out of it
                     from jax.experimental.pallas import tpu as pltpu
 
                     scratch, sem = tbls[pos][3]
+                    loc8 = (loc // 8) * 8
                     cp = pltpu.make_async_copy(
-                        ref.at[pl.ds(loc, 1), :],
-                        scratch.at[0, pl.ds(0, 1), :],
+                        ref.at[pl.ds(loc8, 8), :],
+                        scratch.at[0, pl.ds(0, 8), :],
                         sem.at[0],
                     )
                     cp.start()
                     cp.wait()
-                    row = scratch[0, pl.ds(0, 1), :]
+                    row = scratch[0, pl.ds(loc - loc8, 1), :]
                 else:
                     row = ref[pl.ds(loc, 1), :]
                 sc = tuple(row[0, c] for c in range(28))
@@ -1972,7 +1979,7 @@ def _megakernel_call_stream(prim_tbls, mat, tex, light, ox, oy, oz,
     for h in present_hbm:
         if h:
             scratch_shapes += [
-                pltpu.VMEM((2, SLAB_ROWS, MEGA_W), jnp.float32),
+                pltpu.VMEM((2, SLAB_ROWS, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
     outs = pl.pallas_call(
@@ -2020,7 +2027,7 @@ def _megakernel_call_stream_onebounce(prim_tbls, mat, tex, light, iv, carry,
     for h in present_hbm:
         if h:
             scratch_shapes += [
-                pltpu.VMEM((2, SLAB_ROWS, MEGA_W), jnp.float32),
+                pltpu.VMEM((2, SLAB_ROWS, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
     outs = pl.pallas_call(
