@@ -60,6 +60,8 @@ def bench_scene(name, path, w, h, passes=16, chunk=8, n=4):
     float(acc.sum())
     stats = RenderStats(w, h, passes, time.perf_counter() - t0)
 
+    fps = flops_per_sample(scene)
+
     # --- validation: a fast benchmark that renders garbage is worthless.
     # (a) the timed accumulator must be finite; (b) a small same-seed
     # render through the default path must agree with the forced-XLA
@@ -83,17 +85,73 @@ def bench_scene(name, path, w, h, passes=16, chunk=8, n=4):
     # pixels > 0.01 at 4 spp with dlogmean 3e-4)
     validated &= abs(float(a.mean()) - float(b.mean())) < 0.02
     validated &= float((np.abs(a - b) > 0.01).mean()) < 0.025
-    return stats, validated, scene.prim_type.shape[0]
+    return stats, validated, fps
 
 
 # FLOP-per-sample model (PERF.md): ~25 kFLOP of shading/NEE/RNG per sample
-# plus up to 25 closest-hit queries x P primitive tests (~50 FLOP each).
+# plus (1 primary + max_bounces x 3) = 25 closest-hit queries per sample
+# (lockstep: dead lanes still ride every chunk). Per-row-per-query FLOPs
+# counted from the shared-stream kernel (_closest_stream3: tv/qv/e2qv and
+# v.v amortized over the 3 queries): sphere ~40 (incl. the parent-AABB
+# line test), box ~27, triangle ~44. The r4 model (flat 50/row against an
+# ESTIMATED 3.0e12 ceiling) let mesh1 report 111% MFU; the ceiling is now
+# MEASURED per run (see measure_vpu_flops) and the counts are per-type.
 SHADING_FLOP = 25_000.0
-VPU_F32_FLOPS = 3.0e12  # estimated v5e VPU f32 ceiling (PERF.md roofline)
+ROW_FLOP = {0: 40.0, 1: 27.0, 2: 44.0}  # PRIM_SPHERE/BOX/TRIANGLE
 
 
-def flops_per_sample(P: int) -> float:
-    return SHADING_FLOP + 25.0 * P * 50.0
+def flops_per_sample(scene) -> float:
+    import numpy as np
+
+    ptype = np.asarray(scene.prim_type)
+    rows = sum(ROW_FLOP[t] * float((ptype == t).sum()) for t in (0, 1, 2))
+    return SHADING_FLOP + 25.0 * rows
+
+
+def measure_vpu_flops() -> float:
+    """Measured f32 VPU ceiling: a serial FMA chain over a VMEM-sized
+    block, k iterations inside one jit (data-dependent, cannot be
+    elided). Returns FLOP/s."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    N, K, U = (512, 1024), 64, 64  # U fused FMA stages per loop body:
+    # a single-FMA body is HBM-bound (2 FLOP / 12 bytes ~ 0.16 TFLOP/s
+    # measured); 64 stages fuse into one elementwise kernel and keep the
+    # chain register-resident, exposing the VPU compute ceiling.
+    # C=16 independent chains measured 3.84 TFLOP/s on v5e — matching
+    # the 8x128-lane x 2-issue x 2-FLOP x ~0.94 GHz theoretical peak
+    # (C=4: 2.3, C=8: 3.2 — FMA-latency-bound below that).
+
+    C = 16  # independent interleaved chains (ILP against FMA latency)
+
+    @jax.jit
+    def burn(xs, a, b):
+        def body(i, xs):
+            for _ in range(U):
+                xs = tuple(x * a + b for x in xs)
+            return xs
+
+        return jax.lax.fori_loop(0, K, body, xs)
+
+    xs = tuple(jnp.ones(N) * (1.0 + 1e-6 * i) for i in range(C))
+    a = jnp.ones(N) * 0.9999999
+    b = jnp.ones(N) * 1e-7
+    xs = burn(xs, a, b)
+    float(xs[0].sum())  # compile + warm
+    best = 0.0
+    reps = 8
+    for _ in range(3):  # best-of-3: the relay adds variable latency
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            xs = burn(xs, a, b)
+        float(xs[0].sum())
+        dt = time.perf_counter() - t0
+        best = max(best, 2.0 * N[0] * N[1] * K * U * C * reps / dt)
+    return best
 
 
 def bench_train_step(w=256, h=256, n=2, steps=24):
@@ -178,9 +236,23 @@ def main() -> None:
     if tex_scene.exists():
         # image texture through the megakernel's VMEM-pinned atlas (r4)
         configs.append(("textured0_256", str(tex_scene), 256, 256))
+    hbm_scene = REPO / "scenes" / "mesh2.urn"
+    if hbm_scene.exists():
+        # 102,403 prims: the r5 HBM slab-DMA tier (tri table in HBM,
+        # double-buffered VMEM scratch) — above the old 40,960 VMEM
+        # ceiling there was no TPU path at all; brute-force-linear in P
+        configs.append(("mesh2_128", str(hbm_scene), 128, 128))
     configs.append(("cornell512", f"{SCN}/cornell-box.urn", 512, 512))
 
     changed = False
+    try:
+        vpu = measure_vpu_flops()
+    except Exception:
+        vpu = 3.0e12  # pre-r5 estimate, flagged by the absent metric line
+    else:
+        print(json.dumps({"metric": "vpu_f32_flops_measured",
+                          "value": round(vpu / 1e12, 3), "unit": "TFLOP/s",
+                          "vs_baseline": 1.0}), flush=True)
     # gradient-workload throughput first (the LAST printed line must stay
     # the headline cornell512 metric for the driver)
     try:
@@ -200,7 +272,7 @@ def main() -> None:
                           "error": str(e)[:120]}), flush=True)
 
     for key, path, w, h in configs:
-        stats, validated, P = bench_scene(key, path, w, h)
+        stats, validated, fps = bench_scene(key, path, w, h)
         sps = stats.samples_per_sec
         bkey = f"{key}_samples_per_sec"
         if bkey not in base:
@@ -212,7 +284,7 @@ def main() -> None:
             "unit": "samples/s",
             "vs_baseline": round(sps / base[bkey], 3),
             "validated": validated,
-            "mfu_pct": round(100.0 * sps * flops_per_sample(P) / VPU_F32_FLOPS, 2),
+            "mfu_pct": round(100.0 * sps * fps / vpu, 2),
         }
         print(json.dumps(line), flush=True)
 

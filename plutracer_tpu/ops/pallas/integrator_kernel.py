@@ -100,10 +100,10 @@ def megakernel_eligible(scene, options) -> bool:
         and scene.tex_type.shape[0] <= MAX_T
         and 1 <= scene.light_type.shape[0] <= MAX_L
         # image textures: VMEM-pinned atlas fetch, gated on atlas SIZE
-        # (r4 — the lane-gather loop costs ~4 VPU ops per 128-texel row
-        # per bounce) and unrolled-kernel-only (the streaming kernel has
-        # no atlas path yet)
-        and (A <= 1 or (A <= MAX_ATLAS and P <= MAX_P))
+        # only (r4 — the lane-gather loop costs ~4 VPU ops per 128-texel
+        # row per bounce; r5 extends the atlas path to the streaming and
+        # HBM tiers, so P no longer matters here)
+        and (A <= 1 or A <= MAX_ATLAS)
         and getattr(options, "dtype", "float32") == "float32"
     )
 
@@ -590,6 +590,18 @@ def _hit_detail(rows, o, d, t, found):
 # ---------------------------------------------------------------------------
 # textures (ops/texture.py; no image textures in-kernel)
 # ---------------------------------------------------------------------------
+
+
+def _atlas_planes(scene):
+    """VMEM-pinnable image atlas as three (R, 128) channel planes +
+    static row count (0 = no image textures; dummies still passed so
+    kernel signatures stay uniform)."""
+    A = scene.atlas.shape[0]
+    if A > 1:
+        A_pad = -(-A // 128) * 128
+        flat = jnp.pad(scene.atlas, ((0, A_pad - A), (0, 0)))
+        return tuple(flat[:, c].reshape(-1, 128) for c in range(3)), A_pad // 128
+    return tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(3)), 0
 
 
 def _atlas_fetch(atlas_tiles, flat):
@@ -1585,7 +1597,8 @@ def _fetch_stream(tbls, idx, spec):
 
 
 def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
-                         one_bounce=False, hbm=(False, False, False)):
+                         one_bounce=False, hbm=(False, False, False),
+                         atlas_rows=0):
     """Streaming-kernel builder. shapes: ((Psph, Pbox, Ptri)) static row
     counts of the MegaPack tables (0 = table absent, not passed).
     hbm: per-type flags — True means that table arrives in HBM
@@ -1629,7 +1642,9 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
         ]
         # small tables preloaded as scalar rows (loop-invariant)
         mat_tbl = [tuple(mat_ref[k, c] for c in range(11)) for k in range(M)]
-        tex_tbl = [tuple(tex_ref[k, c] for c in range(9)) for k in range(T)]
+        tex_cols = 12 if atlas_rows else 9
+        tex_tbl = [tuple(tex_ref[k, c] for c in range(tex_cols))
+                   for k in range(T)]
         light_tbl = [tuple(light_ref[k, c] for c in range(8)) for k in range(L)]
 
         # per-light carrier rows: light col 7 holds the REMAPPED prim id
@@ -1671,7 +1686,7 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
         return tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl
 
     def _mk_body(tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl, u_at,
-                 dbg_refs):
+                 dbg_refs, atlas_tiles=None):
         zero = jnp.zeros(TILE)
         one = jnp.ones(TILE)
         def body(i, carry):
@@ -1697,11 +1712,14 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
             })
             mrows["mtype"] = mrows["mtype"].astype(jnp.int32)
             tid = jnp.maximum(mrows["tex"].astype(jnp.int32), 0)
-            trows = fetch(tex_tbl, tid, {
+            tex_spec = {
                 "ttype": 0, "c0": (1, 2, 3), "c1": (4, 5, 6),
                 "scale": 7, "line": 8,
-            })
-            albedo = _eval_albedo(mrows, trows, uv)
+            }
+            if atlas_tiles is not None:
+                tex_spec.update({"img_ofs": 9, "img_w": 10, "img_h": 11})
+            trows = fetch(tex_tbl, tid, tex_spec)
+            albedo = _eval_albedo(mrows, trows, uv, atlas_tiles)
             mrows["albedo"] = albedo
             frame = _make_frame(norm, dpdu)
 
@@ -1867,9 +1885,12 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
         refs, scratches = _split_scratch(refs)
         prim_refs = refs[:ntab]
         mat_ref, tex_ref, light_ref = refs[ntab : ntab + 3]
-        oxr, oyr, ozr, dxr, dyr, dzr, u_ref = refs[ntab + 3 : ntab + 10]
-        lxr, lyr, lzr = refs[ntab + 10 : ntab + 13]
-        dbg_refs = refs[ntab + 13 :]
+        atlas_tiles = refs[ntab + 3 : ntab + 6] if atlas_rows else None
+        na = 3 if atlas_rows else 0
+        oxr, oyr, ozr, dxr, dyr, dzr, u_ref = refs[
+            ntab + 3 + na : ntab + 10 + na]
+        lxr, lyr, lzr = refs[ntab + 10 + na : ntab + 13 + na]
+        dbg_refs = refs[ntab + 13 + na :]
 
         tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl = _env(
             prim_refs, mat_ref, tex_ref, light_ref, scratches)
@@ -1887,7 +1908,7 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
         t0 = jnp.where(f0, t0, _BIG)
 
         body = _mk_body(tbls, mat_tbl, tex_tbl, light_tbl,
-                        carrier_tbl, u_at, dbg_refs)
+                        carrier_tbl, u_at, dbg_refs, atlas_tiles)
         init = (o0, d0, (one, one, one), (zero, zero, zero), zero, one,
                 prim0, t0)
         carry = jax.lax.fori_loop(0, mb, body, init)
@@ -1902,10 +1923,12 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
         refs, scratches = _split_scratch(refs)
         prim_refs = refs[:ntab]
         mat_ref, tex_ref, light_ref, i_ref = refs[ntab : ntab + 4]
+        atlas_tiles = refs[ntab + 4 : ntab + 7] if atlas_rows else None
+        na = 3 if atlas_rows else 0
         (oxr, oyr, ozr, dxr, dyr, dzr, txr, tyr, tzr, lxr0, lyr0, lzr0,
-         psr, avr, pr, tr, u_ref) = refs[ntab + 4 : ntab + 21]
+         psr, avr, pr, tr, u_ref) = refs[ntab + 4 + na : ntab + 21 + na]
         (oxo, oyo, ozo, dxo, dyo, dzo, txo, tyo, tzo, lxo, lyo, lzo,
-         pso, avo, po, to) = refs[ntab + 21 :]
+         pso, avo, po, to) = refs[ntab + 21 + na :]
 
         tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl = _env(
             prim_refs, mat_ref, tex_ref, light_ref, scratches)
@@ -1914,7 +1937,7 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
             return u_ref[pl.ds(j, 1), :, :].reshape(TILE)
 
         body = _mk_body(tbls, mat_tbl, tex_tbl, light_tbl, carrier_tbl,
-                        u_at, ())
+                        u_at, (), atlas_tiles)
         iv = i_ref[0, 0]
         carry = (
             (oxr[:, :], oyr[:, :], ozr[:, :]),
@@ -1941,11 +1964,11 @@ def _build_kernel_stream(shapes, M, T, L, num_lights, options, debug=False,
 
 @functools.partial(
     jax.jit, static_argnames=("M", "T", "L", "num_lights", "options",
-                              "interpret", "debug")
+                              "interpret", "debug", "atlas_rows")
 )
-def _megakernel_call_stream(prim_tbls, mat, tex, light, ox, oy, oz,
+def _megakernel_call_stream(prim_tbls, mat, tex, light, atl, ox, oy, oz,
                             dx, dy, dz, u, M, T, L, num_lights, options,
-                            interpret=False, debug=False):
+                            interpret=False, debug=False, atlas_rows=0):
     import jax.experimental.pallas as pl
 
     from jax.experimental.pallas import tpu as pltpu
@@ -1960,10 +1983,12 @@ def _megakernel_call_stream(prim_tbls, mat, tex, light, ox, oy, oz,
     present_hbm = [h for t, h in zip(prim_tbls, hbm)
                    if t is not None and t.shape[0]]
     kernel = _build_kernel_stream(shapes, M, T, L, num_lights, options,
-                                  debug=debug, hbm=hbm)
+                                  debug=debug, hbm=hbm,
+                                  atlas_rows=atlas_rows)
     ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
     hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    atl_in = list(atl) if atlas_rows else []
     u_spec = pl.BlockSpec((u.shape[0], 32, 128), lambda i: (0, i, 0))
     out_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     out_specs = [out_spec] * 3
@@ -1988,18 +2013,19 @@ def _megakernel_call_stream(prim_tbls, mat, tex, light, ox, oy, oz,
         in_specs=[hbm_spec if h else table_spec(t)
                   for t, h in zip(present, present_hbm)]
         + [table_spec(mat), table_spec(tex), table_spec(light)]
+        + [table_spec(p) for p in atl_in]
         + [ray_spec] * 6 + [u_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(*present, mat, tex, light, ox, oy, oz, dx, dy, dz, u)
+    )(*present, mat, tex, light, *atl_in, ox, oy, oz, dx, dy, dz, u)
     return outs
 
 
-def _megakernel_call_stream_onebounce(prim_tbls, mat, tex, light, iv, carry,
-                                      u, M, T, L, num_lights, options,
-                                      interpret=False):
+def _megakernel_call_stream_onebounce(prim_tbls, mat, tex, light, atl, iv,
+                                      carry, u, M, T, L, num_lights, options,
+                                      interpret=False, atlas_rows=0):
     """One WAVEFRONT bounce. carry: 16 (Bs, 128) arrays
     [ox oy oz dx dy dz Tx Ty Tz Lx Ly Lz prev_spec alive prim(i32) t];
     iv: (1,1) i32 bounce index; u: (12, Bs, 128). Returns the 16-array
@@ -2017,10 +2043,12 @@ def _megakernel_call_stream_onebounce(prim_tbls, mat, tex, light, iv, carry,
     present_hbm = [h for t, h in zip(prim_tbls, hbm)
                    if t is not None and t.shape[0]]
     kernel = _build_kernel_stream(shapes, M, T, L, num_lights, options,
-                                  one_bounce=True, hbm=hbm)
+                                  one_bounce=True, hbm=hbm,
+                                  atlas_rows=atlas_rows)
     ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
     hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    atl_in = list(atl) if atlas_rows else []
     u_spec = pl.BlockSpec((12, 32, 128), lambda i: (0, i, 0))
     dt = [jnp.float32] * 14 + [jnp.int32, jnp.float32]
     scratch_shapes = []
@@ -2037,12 +2065,13 @@ def _megakernel_call_stream_onebounce(prim_tbls, mat, tex, light, iv, carry,
                   for t, h in zip(present, present_hbm)]
         + [table_spec(mat), table_spec(tex), table_spec(light),
            table_spec(iv)]
+        + [table_spec(p) for p in atl_in]
         + [ray_spec] * 16 + [u_spec],
         out_specs=[ray_spec] * 16,
         out_shape=[jax.ShapeDtypeStruct((Bs, 128), t) for t in dt],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(*present, mat, tex, light, iv, *carry, u)
+    )(*present, mat, tex, light, iv, *atl_in, *carry, u)
     return outs
 
 
@@ -2090,6 +2119,7 @@ def _ray_color_stream_wavefront(scene, tables, o, d, key, options,
     prim_tbls = tuple(
         t if t.shape[0] else None for t in (mega.sph, mega.box, mega.tri)
     )
+    atl, atlas_rows = _atlas_planes(scene)
 
     B_pad = -(-B // RAY_TILE) * RAY_TILE
     pad = B_pad - B
@@ -2183,10 +2213,10 @@ def _ray_color_stream_wavefront(scene, tables, o, d, key, options,
         carry = [st[k].reshape(B_pad // 128, 128) for k in order]
         u_k = u_i.T.reshape(12, B_pad // 128, 128)
         outs = _megakernel_call_stream_onebounce(
-            prim_tbls, tables.mat, tables.tex, light_tbl,
+            prim_tbls, tables.mat, tables.tex, light_tbl, atl,
             jnp.full((1, 1), i, jnp.int32), carry, u_k,
             M=M, T=T, L=L, num_lights=num_lights, options=options,
-            interpret=interpret,
+            interpret=interpret, atlas_rows=atlas_rows,
         )
         st = {k: v.reshape(-1) for k, v in zip(order, outs)}
 
@@ -2271,11 +2301,12 @@ def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
         prim_tbls = tuple(
             t if t.shape[0] else None for t in (mega.sph, mega.box, mega.tri)
         )
+        atl, atlas_rows = _atlas_planes(scene)
         res = _megakernel_call_stream(
-            prim_tbls, tables.mat, tables.tex, light_tbl,
+            prim_tbls, tables.mat, tables.tex, light_tbl, atl,
             ox, oy, oz, dx, dy, dz, u,
             M=M, T=T, L=L, num_lights=num_lights, options=options,
-            interpret=interpret, debug=debug,
+            interpret=interpret, debug=debug, atlas_rows=atlas_rows,
         )
     else:
         found0, prim0, t0 = intersect.query_lite(scene, o, d, options)
@@ -2293,15 +2324,7 @@ def ray_color_pallas(scene, o, d, key, options, interpret: bool = False,
         else:
             cull_tbl = jnp.zeros((1, 6), jnp.float32)
         # VMEM-pinned image atlas as three (R, 128) channel planes
-        A = scene.atlas.shape[0]
-        if A > 1:
-            A_pad = -(-A // 128) * 128
-            flat = jnp.pad(scene.atlas, ((0, A_pad - A), (0, 0)))
-            atl = tuple(flat[:, c].reshape(-1, 128) for c in range(3))
-            atlas_rows = A_pad // 128
-        else:
-            atl = tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(3))
-            atlas_rows = 0
+        atl, atlas_rows = _atlas_planes(scene)
         res = _megakernel_call(
             tables.prim, tables.mat, tables.tex, tables.light, cull_tbl, atl,
             ox, oy, oz, dx, dy, dz, p0, t0r, u,

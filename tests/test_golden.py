@@ -38,9 +38,12 @@ def test_every_scene_has_a_golden():
 @pytest.mark.parametrize("name", NAMES)
 def test_golden(name):
     golden = np.load(GOLDEN_DIR / f"{name}.npz")["linear"].astype(np.float32)
-    d = load_scene_file(str(PATHS[name]), ["/res", f"{W}x{H}"])
+    # render at the golden's stored resolution (big-P scenes use smaller
+    # goldens — the CPU oracle is O(rays x P); see tools/make_goldens.py)
+    h, w = golden.shape[:2]
+    d = load_scene_file(str(PATHS[name]), ["/res", f"{w}x{h}"])
     s = compile_scene(d)
-    img = np.asarray(render(s, W, H, N, jax.random.PRNGKey(SEED)))
+    img = np.asarray(render(s, w, h, N, jax.random.PRNGKey(SEED)))
     assert img.shape == golden.shape
     assert np.isfinite(img).all()
     # tonemapped comparison bounds the huge emissive dynamic range

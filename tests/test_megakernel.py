@@ -44,8 +44,16 @@ XLA = DEFAULT_OPTIONS.replace(integrator_backend="xla")
 #  test1       — 257 prims: exercises the STREAMING kernel (P > MAX_P)
 #  repo-mesh0  — 1283 prims incl. a triangle mesh: streaming + tri chunks
 #  repo-textured0 — image texture: the VMEM-pinned atlas lane-gather path
+#  repo-mesh-tex  — image texture ON a 20k-tri mesh: the STREAMING
+#                   kernel's atlas path (r5)
 SCENES = ["cornell-box", "refrac0", "glass0", "room", "test", "minimal1",
-          "test1", "repo-mesh0", "repo-textured0"]
+          "test1", "repo-mesh0", "repo-textured0", "repo-mesh-tex"]
+
+# per-scene knife-edge allowance overrides: image textures on meshes turn
+# float-reassociation-scale uv differences into O(1) albedo flips at
+# texel boundaries (the in-kernel atlas fetch is texel-exact — verified
+# against eval_color_rows — but the uv feeding it is backend-sensitive)
+OUTLIER_ALLOWANCE = {"repo-mesh-tex": 0.03}
 
 
 def camera_rays(scene, res=32, key=0):
@@ -88,9 +96,11 @@ def test_ray_color_equivalence(name):
     # pick, u<0.5 component select) flip under reassociated float32 math and
     # the flipped lane then carries a completely different path
     outliers = (diff > 1e-3).mean()
-    assert outliers <= 0.02, (
+    allowance = OUTLIER_ALLOWANCE.get(name, 0.02)
+    assert outliers <= allowance, (
         f"{name}: {outliers:.2%} lanes differ > 1e-3 (knife-edge allowance "
-        f"is 2%); p99={np.quantile(diff, 0.99):.2e} max={diff.max():.2e}"
+        f"is {allowance:.0%}); p99={np.quantile(diff, 0.99):.2e} "
+        f"max={diff.max():.2e}"
     )
     # aggregate: log-space means must agree — catches systematic estimator
     # errors (the round-2 NEE sample mixup shifted cornell's mean radiance
