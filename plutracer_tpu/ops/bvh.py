@@ -272,13 +272,11 @@ def parent_bounds_tables(bvh: BvhArrays, prim_count: int):
 
 
 def _aabb_hit(o, d, mn, mx):
-    """Reference slab test (inc/cmmn.h:150-170): hit iff tmax >= tmin."""
-    rrd = 1.0 / jnp.where(d == 0.0, 1e-20, d)
-    t1 = (mn - o) * rrd
-    t2 = (mx - o) * rrd
-    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    return tmax >= tmin
+    """Reference slab test (inc/cmmn.h:150-170): hit iff tmax >= tmin.
+    Delegates to the math-core Aabb (ops/geometry.py)."""
+    from plutracer_tpu.ops.geometry import Aabb
+
+    return Aabb(mn, mx).hit(o, d)
 
 
 def bvh_closest(scene, bvh: BvhArrays, o, d):

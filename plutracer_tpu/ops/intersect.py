@@ -132,13 +132,11 @@ def _prim_t_batched(o, d, ptype, a, b, c):
 def line_hit_aabb(o, d, mn, mx):
     """Reference aabb::hit (inc/cmmn.h:150-172): slab LINE test, hit iff
     tmax >= tmin — no positivity, boxes fully behind the ray still 'hit'.
-    Broadcasts over leading dims of (o, d) x (mn, mx)."""
-    rrd = 1.0 / jnp.where(d == 0.0, 1e-20, d)
-    t1 = (mn - o) * rrd
-    t2 = (mx - o) * rrd
-    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    return tmax >= tmin
+    Broadcasts over leading dims of (o, d) x (mn, mx). Delegates to the
+    math-core Aabb (ops/geometry.py), which owns the cmmn.h box kit."""
+    from plutracer_tpu.ops.geometry import Aabb
+
+    return Aabb(mn, mx).hit(o, d)
 
 
 def intersect_ts(scene, o, d):
@@ -226,16 +224,22 @@ def query_lite(scene, o, d, options):
 
         import jax
 
-        # stop_gradient the ray INPUTS too, not just t: pallas_call has no
-        # usable JVP rule, and under value_and_grad even a symbolically-
-        # nonzero input tangent invokes it (crashes with a pallas
-        # axis_frame assertion). The winner (found, prim) is discrete and
-        # t is recomputed differentiably downstream (query_closest).
+        # stop_gradient EVERY kernel input (rays AND the packed table):
+        # pallas_call has no usable JVP rule, and under value_and_grad a
+        # symbolically-nonzero tangent on ANY input invokes it (crashes
+        # with a pallas grid_context assertion). The table tangent arises
+        # when the whole SCENE is a vjp argument — e.g. the megakernel's
+        # custom_vjp backward does jax.vjp(f, scene, o, d), which gives
+        # every scene leaf a tangent (r5: this crashed the compiled
+        # full-depth megakernel VJP on TPU; training never hit it because
+        # make_train_step differentiates the params dict only). The
+        # winner (found, prim) is discrete and t is recomputed
+        # differentiably downstream (query_closest).
         found, prim, t = intersect_lite_pallas(
             scene,
             jax.lax.stop_gradient(o),
             jax.lax.stop_gradient(d),
-            scene.prims_packed,
+            jax.tree.map(jax.lax.stop_gradient, scene.prims_packed),
         )
         return found, prim, jax.lax.stop_gradient(t)
     if backend == "bvh" and scene.bvh is not None:

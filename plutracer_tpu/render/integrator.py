@@ -393,7 +393,11 @@ def ray_color(
         prim0,
         t0,
     )
-    carry, ys = jax.lax.scan(body, init, jnp.arange(options.max_bounces))
+    body_fn = body
+    if getattr(options, "remat_bounces", False):
+        # recompute-in-backward: see semantics.RenderOptions.remat_bounces
+        body_fn = jax.checkpoint(body)
+    carry, ys = jax.lax.scan(body_fn, init, jnp.arange(options.max_bounces))
     if terms:
         return carry[3], ys
     return carry[3]

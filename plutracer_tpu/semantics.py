@@ -143,6 +143,13 @@ class RenderOptions:
     stream_sort: str = "morton"
     # run Pallas kernels in interpret mode (tests on CPU; never on TPU)
     pallas_interpret: bool = False
+    # rematerialize the bounce-scan body in reverse mode (jax.checkpoint):
+    # the backward recomputes each bounce from its carry instead of saving
+    # every intermediate, cutting residual memory ~mb-fold for ~1.3x
+    # forward compute. Needed for big-batch gradients: the 1024^2 flagship
+    # backward (B=1.05M rays) otherwise wants 17.8 GB of HBM residuals on
+    # a 16 GB chip. Off by default (smaller batches fit and run faster).
+    remat_bounces: bool = False
 
     def replace(self, **kw) -> "RenderOptions":
         return dataclasses.replace(self, **kw)

@@ -225,3 +225,33 @@ def test_debug_channels():
     assert cur[0].mean() > 0.99
     # activity never resurrects after death
     assert (np.diff(cur, axis=0) <= 0.0 + 1e-6).all()
+
+
+def test_grad_through_pallas_dispatch_compiled_tpu():
+    """COMPILED (non-interpret) full-depth megakernel VJP on the real
+    accelerator: the Pallas forward runs compiled and the custom_vjp
+    backward re-runs the XLA VJP. The CI suite forces JAX_PLATFORMS=cpu
+    (conftest), where this skips; run it on hardware with
+    `JAX_PLATFORMS= python -m pytest tests/test_megakernel.py -k
+    compiled_tpu` (done and recorded each round — PERF.md r5)."""
+    import dataclasses
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a real accelerator (suite pins CPU)")
+    s = load("cornell-box")
+    o, d = camera_rays(s, res=8)
+    key = jax.random.PRNGKey(11)
+    forced = DEFAULT_OPTIONS.replace(
+        integrator_backend="pallas", max_bounces=8
+    )
+
+    def loss(mat_color, opts):
+        s2 = dataclasses.replace(s, mat_color=mat_color)
+        return jnp.mean(ray_color(s2, o, d, key, opts))
+
+    g_pallas = jax.grad(loss)(s.mat_color, forced)
+    g_xla = jax.grad(loss)(s.mat_color, XLA)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-4, atol=1e-6
+    )
+    assert np.abs(np.asarray(g_xla)).max() > 0.0

@@ -114,6 +114,11 @@ def main(argv=None):
                          "estimator against adam's sign-following walking "
                          "away under heavy-tailed MC noise (see "
                          "make_train_step loss_clamp)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the bounce scan in the backward "
+                         "(jax.checkpoint) — required at 1024^2, where "
+                         "the residuals for a 1.05M-ray backward exceed "
+                         "HBM (measured: 17.8 GB wanted on a 16 GB chip)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init-from", default=None,
                     help="resume: initialize parameters from a prior run's "
@@ -243,10 +248,14 @@ def main(argv=None):
               f"albedo_mae={rec['albedo_mae']:.4f} "
               f"emission_rel={rec['emission_rel_err']:.4f}", flush=True)
 
+    from plutracer_tpu.semantics import DEFAULT_OPTIONS as _DOPTS
+
+    ropts = _DOPTS.replace(remat_bounces=True) if args.remat else _DOPTS
     cfg = InverseRenderConfig(
         width=W, height=H, n=args.n, steps=args.steps, seed=args.seed,
         log_every=10, trainable=("mat_color", "light_intensity"),
         optimizer=opt, grad_mask=mask, loss_space=args.loss,
+        options=ropts,
     )
     stats = {}
     t0 = time.time()
@@ -293,6 +302,7 @@ def main(argv=None):
                              if args.phase2_loss == "ab" else 1),
             loss_clamp=args.phase2_clamp,
             mesh_shape=(1, 1),
+            options=ropts,
         )
         stats2 = {}
         # host round-trip: phase-1 params carry the phase-1 mesh's
