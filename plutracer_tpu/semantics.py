@@ -79,11 +79,25 @@ replaces a reference NaN/Inf with a finite value; full audit):
   gradients would die of 0 * inf for the whole batch. A >=1e12-weight
   sample is saturated garbage either way; images differ only on that
   measure-zero set, gradients become well-defined.
-- division guards via jnp.where(x == 0, 1, x) throughout (_safe_div,
-  box_t's 1e-20 ray-direction epsilon matching the slab test's IEEE-Inf
-  behavior, triangle_t's det==0 reject) — all on paths where the reference
-  relies on IEEE Inf propagating into comparisons that then reject the
-  lane; ours rejects the lane explicitly with a mask instead.
+- division guards via jnp.where(x == 0, 1, x) throughout (box_t's
+  ray-direction epsilon matching the slab test's IEEE-Inf behavior,
+  triangle_t's det==0 reject) — all on paths where the reference relies
+  on IEEE Inf propagating into comparisons that then reject the lane;
+  ours rejects the lane explicitly with a mask instead.
+- derivative-side clamps (ops/safemath.py, r5): safe_div / safe_recip /
+  safe_rsqrt keep primals BIT-IDENTICAL to the plain ops but clamp the
+  denominators inside their custom_jvp rules — guard floors of the
+  1e-20/1e-30 class have transposes that square the denominator (FTZ
+  flushes the square to 0 -> 0/0 NaN on zero-cotangent lanes) or
+  overflow f32 (rsqrt's u**-1.5). Forward images are unaffected.
+- differentiable-t sentinel guard (r5): under non-XLA intersect
+  backends, t is recomputed at the kernel's winning primitive; the
+  recompute is accepted only where it agrees the ray hits (t < T_MAX),
+  else the kernel's t is kept. On knife-edge lanes where the backends
+  disagree, the old code put the 3e37 miss sentinel on a found=True
+  lane — hit points at ~4e37 whose dot products overflow and NaN the
+  whole backward. Primal changes only on those disagreeing lanes
+  (which previously carried saturated garbage positions).
 """
 
 from __future__ import annotations
