@@ -97,3 +97,51 @@ def test_grads_finite_all_scenes():
         g = jax.grad(loss)(params)
         for k, v in g.items():
             assert bool(jnp.isfinite(v).all()), f"{p.stem}: NaN in {k}"
+
+
+def test_safemath_derivative_guards():
+    """ops/safemath: primals bit-identical to the plain ops; transposes
+    finite where the plain ops NaN. The plain patterns fail on CPU too
+    (XLA flushes f32 denormals): grad of where(False, x/y, 0) at
+    y=1e-20 is NaN because the transpose divides by y**2 = 0."""
+    import jax.numpy as jnp
+
+    from plutracer_tpu.ops import safemath
+
+    mask = jnp.array(False)
+    x = jnp.float32(3.0)
+
+    # the raw pattern really is NaN-capable on this backend (guards the
+    # test's own premise)
+    g_raw = jax.grad(lambda y: jnp.sum(jnp.where(mask, x / y, 0.0)))(
+        jnp.float32(1e-20)
+    )
+    assert not np.isfinite(float(g_raw))
+
+    # zero-cotangent lanes: exact 0 gradients, never NaN
+    g = jax.grad(lambda y: jnp.sum(jnp.where(mask, safemath.safe_div(x, y),
+                                             0.0)))(jnp.float32(1e-20))
+    assert float(g) == 0.0
+    g = jax.grad(lambda y: jnp.sum(jnp.where(mask, safemath.safe_recip(y),
+                                             0.0)))(jnp.float32(1e-20))
+    assert float(g) == 0.0
+    g = jax.grad(lambda u: jnp.sum(jnp.where(mask, safemath.safe_rsqrt(u),
+                                             0.0)))(jnp.float32(1e-30))
+    assert float(g) == 0.0
+
+    # primals bit-identical to the plain ops
+    ys = jnp.asarray([1e-20, 1e-3, 0.5, -2.0, 3e7], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(safemath.safe_div(x, ys)),
+                                  np.asarray(x / ys))
+    np.testing.assert_array_equal(np.asarray(safemath.safe_recip(ys)),
+                                  np.asarray(1.0 / ys))
+    us = jnp.asarray([1e-30, 1e-6, 1.0, 9.0], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(safemath.safe_rsqrt(us)),
+                                  np.asarray(jax.lax.rsqrt(us)))
+
+    # derivatives exact away from the guard floors (vs finite diff)
+    for y0 in (0.37, -1.4):
+        g = float(jax.grad(lambda y: safemath.safe_div(x, y))(jnp.float32(y0)))
+        assert abs(g - (-3.0 / y0 ** 2)) < 1e-3 * abs(g)
+    g = float(jax.grad(safemath.safe_rsqrt)(jnp.float32(4.0)))
+    assert abs(g - (-0.5 * 4.0 ** -1.5)) < 1e-6
