@@ -236,6 +236,11 @@ def main() -> None:
     if tex_scene.exists():
         # image texture through the megakernel's VMEM-pinned atlas (r4)
         configs.append(("textured0_256", str(tex_scene), 256, 256))
+    mtex_scene = REPO / "scenes" / "mesh-tex.urn"
+    if mtex_scene.exists():
+        # image texture ON a 20k-tri mesh: the r5 streaming-tier atlas
+        # path (previously dropped to the ~2x-slower XLA fallback)
+        configs.append(("meshtex_256", str(mtex_scene), 256, 256))
     hbm_scene = REPO / "scenes" / "mesh2.urn"
     if hbm_scene.exists():
         # 102,403 prims: the r5 HBM slab-DMA tier (tri table in HBM,
