@@ -14,7 +14,11 @@ Extensions over the reference (flags, all optional):
 - ``/o PATH`` explicit output path;
 - ``/seed N`` RNG seed (renders are deterministic per seed);
 - ``/profile DIR`` capture a jax.profiler trace of the render phase;
-- ``/checkpoint PATH`` save/resume progressive accumulation state.
+- ``/checkpoint PATH`` save/resume progressive accumulation state;
+- ``/supervise`` run the render under the failure-detecting supervisor
+  (render/supervisor.py): the render happens in a worker subprocess with
+  heartbeat liveness + checkpointing, and crashes/hangs are detected and
+  restarted from the last checkpoint (resumable across device counts).
 """
 
 from __future__ import annotations
@@ -24,6 +28,12 @@ import time
 from typing import List, Optional
 
 import numpy as np
+
+
+def pathlib_stem(path: str) -> str:
+    import pathlib
+
+    return pathlib.Path(path).stem
 
 
 def _pop_flag(args: List[str], flag: str, has_value: bool = True):
@@ -50,13 +60,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 0
 
     if not args:
-        print("usage: plutracer [/i] <scene.urn> [/res WxH] [/smp N] [/o out.bmp]")
+        print(
+            "usage: plutracer [/i] <scene.urn> [/res WxH] [/smp N] "
+            "[/o out.bmp] [/supervise]"
+        )
         return 2
 
     out_path = _pop_flag(args, "/o")
     seed = int(_pop_flag(args, "/seed") or 0)
     profile_dir = _pop_flag(args, "/profile")
     checkpoint = _pop_flag(args, "/checkpoint")
+    supervise = _pop_flag(args, "/supervise", has_value=False)
 
     scn_path = args.pop(0)
     print(f"loading scene {scn_path}")
@@ -65,46 +79,64 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     plutracer_tpu.enable_compilation_cache()
 
-    # --- init phase: parse + compile scene ---
+    # --- init phase: parse (+ compile, unless supervised) scene ---
     init_start = time.perf_counter()
     from plutracer_tpu.scene import compile_scene, load_scene_file
 
     desc = load_scene_file(scn_path, args)
-    scene = compile_scene(desc)
+    width, height = desc.resolution
+    if not supervise:
+        scene = compile_scene(desc)
     init_end = time.perf_counter()
 
     # --- render phase ---
     print("rendering... ")
-    import jax
-
-    if jax.default_backend() not in ("cpu",):
-        # the integrator megakernel compiles once per (scene shape,
-        # resolution): ~10 s for the streaming kernel, up to ~2 min for
-        # the unrolled small-scene kernel (PERF.md). The persistent
-        # compilation cache makes every later process load it in seconds,
-        # but a truly cold first render must not look hung.
-        print(
-            "(first render of this scene/resolution compiles the TPU "
-            "kernel: up to ~2 min, cached for all later runs)",
-            flush=True,
-        )
-
-    from plutracer_tpu.render.progressive import render_with_checkpoint
 
     render_start = time.perf_counter()
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-    linear = render_with_checkpoint(
-        scene,
-        desc.resolution[0],
-        desc.resolution[1],
-        desc.samples,
-        seed=seed,
-        checkpoint_path=checkpoint,
-    )
-    linear.block_until_ready()
-    if profile_dir:
-        jax.profiler.stop_trace()
+    if supervise:
+        # device work happens in the worker subprocess only: the driver
+        # just watches the heartbeat and restarts from the checkpoint
+        from plutracer_tpu.render.supervisor import supervise_render
+
+        workdir = checkpoint or (
+            f".supervise_{pathlib_stem(scn_path)}_{width}x{height}_s{seed}"
+        )
+        result = supervise_render(
+            scn_path, width, height, desc.samples, seed, workdir
+        )
+        if result.restarts:
+            print(f"(recovered from {result.restarts} worker failure(s))")
+        linear = result.image
+    else:
+        import jax
+
+        if jax.default_backend() not in ("cpu",):
+            # the integrator megakernel compiles once per (scene shape,
+            # resolution): ~10 s for the streaming kernel, up to ~2 min for
+            # the unrolled small-scene kernel (PERF.md). The persistent
+            # compilation cache makes every later process load it in
+            # seconds, but a truly cold first render must not look hung.
+            print(
+                "(first render of this scene/resolution compiles the TPU "
+                "kernel: up to ~2 min, cached for all later runs)",
+                flush=True,
+            )
+
+        from plutracer_tpu.render.progressive import render_with_checkpoint
+
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        linear = render_with_checkpoint(
+            scene,
+            width,
+            height,
+            desc.samples,
+            seed=seed,
+            checkpoint_path=checkpoint,
+        )
+        linear.block_until_ready()
+        if profile_dir:
+            jax.profiler.stop_trace()
     render_end = time.perf_counter()
 
     # --- postprocess phase ---

@@ -53,6 +53,48 @@ class InverseRenderConfig:
     # firefly clamp: bound both rendered and target linear radiance
     # before the loss (bounded-influence estimator; see make_train_step)
     loss_clamp: float = 0.0
+    # checkpoint/resume for long training jobs (the training analog of
+    # render/elastic.py): params + optimizer state + step counter are
+    # serialized after every chunk; an interrupted optimize_scene resumes
+    # bit-exactly (chunk boundaries are absolute, the RNG is counter-based
+    # in the absolute step index, and the state round-trips exactly)
+    checkpoint_path: Optional[str] = None
+
+
+def _save_train_ckpt(path, params, opt_state, next_i, seed, losses, nf_fracs):
+    """Atomic checkpoint: params dict + flattened optimizer-state leaves
+    (the treedef is reproducible from step.init on load) + progress."""
+    import os
+
+    oleaves = jax.tree_util.tree_leaves(opt_state)
+    payload = {f"param_{k}": np.asarray(v) for k, v in params.items()}
+    payload.update({f"opt_{i}": np.asarray(x) for i, x in enumerate(oleaves)})
+    tmp = path + ".tmp"
+    np.savez(
+        tmp, next_i=next_i, seed=seed,
+        losses=np.asarray(losses, np.float64),
+        nf_fracs=np.asarray(nf_fracs, np.float64),
+        param_keys=np.asarray(sorted(params.keys())),
+        n_opt_leaves=len(oleaves),
+        **payload,
+    )
+    os.replace(tmp + ".npz", path)
+
+
+def _load_train_ckpt(path, opt_state_template, seed):
+    z = np.load(path, allow_pickle=False)
+    if int(z["seed"]) != seed:
+        raise ValueError(f"checkpoint seed {int(z['seed'])} != config {seed}")
+    params = {str(k): jnp.asarray(z[f"param_{k}"]) for k in z["param_keys"]}
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    n = int(z["n_opt_leaves"])
+    opt_state = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(z[f"opt_{i}"]) for i in range(n)]
+    )
+    return (
+        params, opt_state, int(z["next_i"]),
+        z["losses"].tolist(), z["nf_fracs"].tolist(),
+    )
 
 
 def optimize_scene(
@@ -83,6 +125,8 @@ def optimize_scene(
         loss_downsample=config.loss_downsample,
         loss_clamp=config.loss_clamp,
     )
+    import os
+
     params = init_params if init_params is not None else get_params(scene)
     opt_state = step.init(params)
     target_flat = jnp.asarray(np.asarray(target_linear).reshape(-1, 3))
@@ -95,6 +139,11 @@ def optimize_scene(
     chunk = max(1, config.log_every)
     nf_fracs: List[float] = []
     i = 0
+    ckpt = config.checkpoint_path
+    if ckpt and os.path.exists(ckpt):
+        params, opt_state, i, losses, nf_fracs = _load_train_ckpt(
+            ckpt, opt_state, config.seed
+        )
     while i < config.steps:
         # first chunk is a single step so the callback cadence matches the
         # historical per-step loop (fires at steps 0, log_every, 2*log_every
@@ -108,6 +157,13 @@ def optimize_scene(
         if callback:
             callback(i + k - 1, losses[-1], params)
         i += k
+        if ckpt:
+            # checkpoints land on chunk boundaries, so a resumed run
+            # re-issues the identical step.many programs (bit-exact)
+            jax.block_until_ready(params)
+            _save_train_ckpt(
+                ckpt, params, opt_state, i, config.seed, losses, nf_fracs
+            )
     if stats_out is not None:
         # steps == 0 is degenerate-but-legal: report 0.0, not np.mean([])
         stats_out["nonfinite_grad_frac_mean"] = (

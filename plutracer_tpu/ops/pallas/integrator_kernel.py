@@ -1987,7 +1987,7 @@ def _megakernel_call_stream(prim_tbls, mat, tex, light, atl, ox, oy, oz,
                                   atlas_rows=atlas_rows)
     ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
-    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     atl_in = list(atl) if atlas_rows else []
     u_spec = pl.BlockSpec((u.shape[0], 32, 128), lambda i: (0, i, 0))
     out_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
@@ -2047,7 +2047,7 @@ def _megakernel_call_stream_onebounce(prim_tbls, mat, tex, light, atl, iv,
                                   atlas_rows=atlas_rows)
     ray_spec = pl.BlockSpec((32, 128), lambda i: (i, 0))
     table_spec = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0))
-    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     atl_in = list(atl) if atlas_rows else []
     u_spec = pl.BlockSpec((12, 32, 128), lambda i: (0, i, 0))
     dt = [jnp.float32] * 14 + [jnp.int32, jnp.float32]

@@ -88,3 +88,66 @@ def test_loss_clamp_consistent_estimator(eight_devices):
     err1 = float(np.abs(np.asarray(params["tex_c1"])
                         - np.asarray(true_params["tex_c1"])).mean())
     assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_train_checkpoint_resume_bit_exact(eight_devices, tmp_path):
+    """Training-job recovery (SURVEY §5, the training analog of
+    render/elastic.py): kill a run after 6 of 12 steps, resume from its
+    checkpoint, and the final params + loss history are bit-identical to
+    an uninterrupted run (chunk boundaries are absolute, the sample
+    stream is keyed by absolute step index, and params/opt-state/progress
+    round-trip exactly through the checkpoint)."""
+    d = load_scene_file("/root/reference/scenes/room.urn", ["/res", "24x18"])
+    scene = compile_scene(d)
+    target = render(scene, 24, 18, 2, jax.random.PRNGKey(11))
+
+    init = dict(get_params(scene))
+    init["tex_c1"] = init["tex_c1"] * 0.25
+    base = dict(
+        width=24, height=18, n=2, learning_rate=3e-2,
+        mesh_shape=(4, 2), log_every=3, trainable=("tex_c1",),
+    )
+
+    ref_params, ref_losses = optimize_scene(
+        scene, target, InverseRenderConfig(steps=12, **base),
+        init_params=init,
+    )
+
+    ck = str(tmp_path / "train.ckpt.npz")
+    # "crashed" session: steps=7 lands exactly on a chunk boundary
+    # (1 + 3 + 3), like a checkpoint written just before a crash
+    optimize_scene(
+        scene, target,
+        InverseRenderConfig(steps=7, checkpoint_path=ck, **base),
+        init_params=init,
+    )
+    # resumed session picks up at step 7 and finishes
+    got_params, got_losses = optimize_scene(
+        scene, target,
+        InverseRenderConfig(steps=12, checkpoint_path=ck, **base),
+        init_params=init,
+    )
+    assert got_losses == ref_losses
+    for k in ref_params:
+        assert np.array_equal(
+            np.asarray(got_params[k]), np.asarray(ref_params[k])
+        ), k
+
+
+def test_train_checkpoint_rejects_foreign_seed(eight_devices, tmp_path):
+    d = load_scene_file("/root/reference/scenes/room.urn", ["/res", "24x18"])
+    scene = compile_scene(d)
+    target = render(scene, 24, 18, 2, jax.random.PRNGKey(11))
+    ck = str(tmp_path / "t.ckpt.npz")
+    cfg = InverseRenderConfig(
+        width=24, height=18, n=2, steps=2, log_every=2, mesh_shape=(4, 2),
+        trainable=("tex_c1",), checkpoint_path=ck,
+    )
+    optimize_scene(scene, target, cfg, init_params=dict(get_params(scene)))
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, seed=5, steps=4)
+    with pytest.raises(ValueError, match="seed"):
+        optimize_scene(
+            scene, target, cfg2, init_params=dict(get_params(scene))
+        )
