@@ -190,6 +190,11 @@ def _worker(argv: List[str]) -> int:
 
     beat_now()  # liveness from process start (imports/compiles count)
 
+    import plutracer_tpu
+
+    # a restarted worker must not pay the cold kernel compile again
+    plutracer_tpu.enable_compilation_cache()
+
     from plutracer_tpu.render.elastic import render_elastic
     from plutracer_tpu.scene import compile_scene, load_scene_file
 
