@@ -131,6 +131,7 @@ def render_elastic(
     devs = list(devices) if devices is not None else jax.devices()
     mesh = Mesh(np.asarray(devs), ("spp",))
     spp = n * n
+    checkpoint_every = max(1, checkpoint_every)
     key = jax.random.PRNGKey(seed)
     accum = np.zeros((height * width, 3), np.float32)
     start = 0

@@ -199,6 +199,21 @@ def _worker(argv: List[str]) -> int:
     from plutracer_tpu.scene import compile_scene, load_scene_file
 
     w, h = (int(v) for v in a.res.split("x"))
+    # refuse a checkpoint left by a DIFFERENT job in the same workdir
+    # (same seed but another scene/resolution would silently blend): the
+    # job fingerprint rides next to the checkpoint
+    job = f"{os.path.abspath(a.scene)}|{a.res}|n={a.n}|seed={a.seed}"
+    tag = a.ckpt + ".job"
+    if os.path.exists(a.ckpt) and os.path.exists(tag):
+        with open(tag) as f:
+            if f.read() != job:
+                raise SystemExit(
+                    f"checkpoint {a.ckpt} belongs to a different job; "
+                    "remove it or use a fresh workdir"
+                )
+    with open(tag, "w") as f:
+        f.write(job)
+
     desc = load_scene_file(a.scene, ["/res", a.res, *a.scene_arg])
     scene = compile_scene(desc)
 

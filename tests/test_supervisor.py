@@ -87,6 +87,23 @@ def test_elastic_resume_on_smaller_mesh(tmp_path, baseline_image):
     assert np.array_equal(r.image, baseline_image)
 
 
+def test_worker_rejects_foreign_job_checkpoint(tmp_path):
+    """A checkpoint written by a different (scene, res, n, seed) job in
+    the same workdir must abort the worker, not silently blend renders."""
+    from plutracer_tpu.render.supervisor import _worker
+
+    ck = tmp_path / "c.npz"
+    save_state(str(ck), np.zeros((H * W, 3), np.float32), 4, SEED)
+    (tmp_path / "c.npz.job").write_text("elsewhere.urn|8x6|n=1|seed=0")
+    with pytest.raises(SystemExit, match="different job"):
+        _worker([
+            "--worker", "--scene", SCENE, "--res", f"{W}x{H}",
+            "--n", str(N), "--seed", str(SEED), "--ckpt", str(ck),
+            "--heartbeat", str(tmp_path / "hb"),
+            "--out", str(tmp_path / "o.npz"),
+        ])
+
+
 def test_cli_supervised_render(tmp_path, monkeypatch):
     """`/supervise` end-to-end: the driver renders via the supervised
     worker subprocess and still writes the watermarked BMP."""
