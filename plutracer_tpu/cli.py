@@ -96,6 +96,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if supervise:
         # device work happens in the worker subprocess only: the driver
         # just watches the heartbeat and restarts from the checkpoint
+        if profile_dir:
+            print("(/profile is ignored under /supervise: the render "
+                  "runs in a worker process)")
         from plutracer_tpu.render.supervisor import supervise_render
 
         workdir = checkpoint or (
