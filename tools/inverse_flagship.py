@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -124,6 +125,12 @@ def main(argv=None):
                     help="resume: initialize parameters from a prior run's "
                          "output json (recovered_albedo/recovered_emission) "
                          "instead of the canonical perturbation")
+    ap.add_argument("--checkpoint", default=None, metavar="DIR",
+                    help="crash-resumable training: write per-phase "
+                         "optimize_scene checkpoints (params + optimizer "
+                         "state + step counter) under DIR; rerunning with "
+                         "the same flags resumes bit-exactly, replaying a "
+                         "finished phase 1 instantly from its checkpoint")
     ap.add_argument("--out", default="INVERSE_r04.json")
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--platform", default=None,
@@ -251,11 +258,16 @@ def main(argv=None):
     from plutracer_tpu.semantics import DEFAULT_OPTIONS as _DOPTS
 
     ropts = _DOPTS.replace(remat_bounces=True) if args.remat else _DOPTS
+    ck1 = ck2 = None
+    if args.checkpoint:
+        os.makedirs(args.checkpoint, exist_ok=True)
+        ck1 = os.path.join(args.checkpoint, "phase1.ckpt.npz")
+        ck2 = os.path.join(args.checkpoint, "phase2.ckpt.npz")
     cfg = InverseRenderConfig(
         width=W, height=H, n=args.n, steps=args.steps, seed=args.seed,
         log_every=10, trainable=("mat_color", "light_intensity"),
         optimizer=opt, grad_mask=mask, loss_space=args.loss,
-        options=ropts,
+        options=ropts, checkpoint_path=ck1,
     )
     stats = {}
     t0 = time.time()
@@ -302,7 +314,7 @@ def main(argv=None):
                              if args.phase2_loss == "ab" else 1),
             loss_clamp=args.phase2_clamp,
             mesh_shape=(1, 1),
-            options=ropts,
+            options=ropts, checkpoint_path=ck2,
         )
         stats2 = {}
         # host round-trip: phase-1 params carry the phase-1 mesh's
