@@ -19,6 +19,9 @@ Extensions over the reference (flags, all optional):
   (render/supervisor.py): the render happens in a worker subprocess with
   heartbeat liveness + checkpointing, and crashes/hangs are detected and
   restarted from the last checkpoint (resumable across device counts).
+  With ``/supervise``, ``/checkpoint`` names the supervisor's work
+  DIRECTORY (heartbeat + checkpoint + result live there); without it, a
+  per-(scene, resolution, seed) directory is created in the cwd.
 """
 
 from __future__ import annotations
