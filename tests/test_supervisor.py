@@ -104,6 +104,19 @@ def test_worker_rejects_foreign_job_checkpoint(tmp_path):
         ])
 
 
+def test_persistent_failure_exhausts_restarts(tmp_path):
+    """A failure that survives restarts (here: an unloadable scene) must
+    end in WorkerFailure after max_restarts, with every attempt logged."""
+    from plutracer_tpu.render.supervisor import WorkerFailure
+
+    with pytest.raises(WorkerFailure, match="failed 2 times"):
+        supervise_render(
+            str(tmp_path / "does-not-exist.urn"), W, H, N, SEED,
+            str(tmp_path), max_restarts=1, device_counts=[2],
+            heartbeat_timeout=300.0, poll=0.2,
+        )
+
+
 def test_cli_supervised_render(tmp_path, monkeypatch):
     """`/supervise` end-to-end: the driver renders via the supervised
     worker subprocess and still writes the watermarked BMP."""
